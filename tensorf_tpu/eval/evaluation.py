@@ -1,0 +1,208 @@
+"""Evaluation drivers: test-set metrics, trajectory rendering, mid-train PSNR.
+
+Counterparts of the reference ``evaluation`` (renderer.py:148-225),
+``evaluation_path`` (renderer.py:227-282) and ``PSNRs_calculate``
+(loss.py:10-57): per-image chunked rendering, PSNR (+optional SSIM/LPIPS),
+prediction/ground_truth/rgbd PNG dumps, rgb+depth mp4 videos, mean.txt.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from ..models.alpha_mask import AlphaGridMask
+from ..ops.rays import get_rays, ndc_rays_blender
+from ..render.chunked import make_render_fn, render_chunked
+from ..utils.misc import visualize_depth_numpy
+from .metrics import psnr as psnr_fn
+from .metrics import rgb_lpips, rgb_ssim
+
+
+@dataclasses.dataclass
+class RendererHandle:
+    """Bundles everything needed to render rays with the current model state
+    (the role the (tensorf, renderer) pair plays in the reference)."""
+
+    model: object
+    cfg: object
+    params: dict
+    alpha_mask: Optional[AlphaGridMask]
+    aabb: object  # jnp (2,3)
+    step_size: float
+    n_samples: int
+    white_bg: bool
+    ndc_ray: bool
+    shade_top_k: Optional[int] = None
+
+    def render(self, rays: np.ndarray, chunk: int = 8192):
+        fn = make_render_fn(
+            self.model,
+            self.cfg,
+            step_size=float(self.step_size),
+            n_samples=int(self.n_samples),
+            white_bg=self.white_bg,
+            ndc_ray=self.ndc_ray,
+            shade_top_k=self.shade_top_k,
+        )
+        return render_chunked(
+            fn, self.params, self.alpha_mask, rays, self.aabb, chunk=chunk
+        )
+
+
+def _write_png(path: str, img: np.ndarray):
+    import imageio.v2 as imageio
+
+    imageio.imwrite(path, (np.clip(img, 0, 1) * 255).astype(np.uint8))
+
+
+def _write_video(path: str, frames: List[np.ndarray], fps: int = 30):
+    import imageio.v2 as imageio
+
+    try:
+        imageio.mimwrite(path, np.stack(frames), fps=fps, quality=10)
+    except Exception as e:  # codec-free environments
+        print(f"[eval] video write skipped ({e})")
+
+
+def evaluation(
+    test_dataset,
+    handle: RendererHandle,
+    savePath: Optional[str] = None,
+    N_vis: int = -1,
+    prtx: str = "",
+    chunk: int = 8192,
+    compute_extra_metrics: bool = True,
+    device=None,
+):
+    """Render the (stacked) dataset, compute metrics, dump artifacts.
+
+    Returns the list of per-image PSNRs (reference renderer.py:148-225).
+    """
+    PSNRs, ssims, l_alex, l_vgg = [], [], [], []
+    rgb_frames, depth_frames = [], []
+    near_far = test_dataset.near_far
+    W, H = test_dataset.img_wh
+
+    if savePath is not None:
+        os.makedirs(savePath, exist_ok=True)
+        os.makedirs(f"{savePath}/prediction", exist_ok=True)
+        os.makedirs(f"{savePath}/ground_truth", exist_ok=True)
+        os.makedirs(f"{savePath}/rgbd", exist_ok=True)
+
+    n_images = test_dataset.all_rays.shape[0]
+    img_eval_interval = 1 if N_vis < 0 else max(n_images // N_vis, 1)
+    idxs = list(range(0, n_images, img_eval_interval))
+
+    for idx in idxs:
+        rays = np.asarray(test_dataset.all_rays[idx]).reshape(-1, 6)
+        rgb_map, depth_map, _ = handle.render(rays, chunk=chunk)
+        rgb_map = np.clip(rgb_map, 0, 1).reshape(H, W, 3)
+        depth_map = depth_map.reshape(H, W)
+        depth_vis, _ = visualize_depth_numpy(depth_map, near_far)
+
+        if len(test_dataset.all_rgbs):
+            gt_rgb = np.asarray(test_dataset.all_rgbs[idx]).reshape(H, W, 3)
+            PSNRs.append(psnr_fn(rgb_map, gt_rgb))
+            if compute_extra_metrics:
+                ssims.append(rgb_ssim(rgb_map, gt_rgb, 1))
+                la = rgb_lpips(gt_rgb, rgb_map, "alex")
+                lv = rgb_lpips(gt_rgb, rgb_map, "vgg")
+                if la is not None:
+                    l_alex.append(la)
+                if lv is not None:
+                    l_vgg.append(lv)
+
+        rgb_frames.append((rgb_map * 255).astype(np.uint8))
+        depth_frames.append(depth_vis[..., ::-1])  # BGR->RGB for video
+
+        if savePath is not None:
+            _write_png(f"{savePath}/prediction/{prtx}{idx:03d}.png", rgb_map)
+            if len(test_dataset.all_rgbs):
+                _write_png(
+                    f"{savePath}/ground_truth/{prtx}{idx:03d}.png", gt_rgb
+                )
+            rgbd = np.concatenate(
+                [
+                    (rgb_map * 255).astype(np.uint8),
+                    depth_vis[..., ::-1],
+                ],
+                axis=1,
+            )
+            import imageio.v2 as imageio
+
+            imageio.imwrite(f"{savePath}/rgbd/{prtx}{idx:03d}.png", rgbd)
+
+    if savePath is not None:
+        _write_video(f"{savePath}/{prtx}video.mp4", rgb_frames)
+        _write_video(f"{savePath}/{prtx}depthvideo.mp4", depth_frames)
+
+        if PSNRs:
+            lines = [float(np.mean(PSNRs))]
+            if ssims:
+                lines.append(float(np.mean(ssims)))
+            if l_alex:
+                lines.append(float(np.mean(l_alex)))
+            if l_vgg:
+                lines.append(float(np.mean(l_vgg)))
+            np.savetxt(f"{savePath}/{prtx}mean.txt", np.asarray(lines))
+
+    return PSNRs
+
+
+def evaluation_path(
+    test_dataset,
+    handle: RendererHandle,
+    c2ws,
+    savePath: Optional[str] = None,
+    prtx: str = "",
+    chunk: int = 8192,
+    device=None,
+):
+    """Render a camera trajectory (reference renderer.py:227-282)."""
+    W, H = test_dataset.img_wh
+    near_far = test_dataset.near_far
+    if savePath is not None:
+        os.makedirs(savePath, exist_ok=True)
+        os.makedirs(f"{savePath}/prediction", exist_ok=True)
+        os.makedirs(f"{savePath}/rgbd", exist_ok=True)
+
+    rgb_frames, depth_frames = [], []
+    for idx, c2w in enumerate(np.asarray(c2ws)):
+        rays_o, rays_d = get_rays(test_dataset.directions, c2w[:3, :4])
+        if handle.ndc_ray:
+            rays_o, rays_d = ndc_rays_blender(
+                H, W, test_dataset.focal[0], 1.0, rays_o, rays_d
+            )
+        rays = np.concatenate([rays_o, rays_d], axis=1).astype(np.float32)
+        rgb_map, depth_map, _ = handle.render(rays, chunk=chunk)
+        rgb_map = np.clip(rgb_map, 0, 1).reshape(H, W, 3)
+        depth_vis, _ = visualize_depth_numpy(
+            depth_map.reshape(H, W), near_far
+        )
+        rgb_frames.append((rgb_map * 255).astype(np.uint8))
+        depth_frames.append(depth_vis[..., ::-1])
+        if savePath is not None:
+            _write_png(f"{savePath}/prediction/{prtx}{idx:03d}.png", rgb_map)
+
+    if savePath is not None:
+        _write_video(f"{savePath}/{prtx}video.mp4", rgb_frames)
+        _write_video(f"{savePath}/{prtx}depthvideo.mp4", depth_frames)
+    return []
+
+
+def psnrs_calculate(handle: RendererHandle, dataset, chunk: int = 4096):
+    """Mid-training test-set PSNR sweep (reference loss.py:10-57)."""
+    PSNRs = []
+    W, H = dataset.img_wh
+    for idx in range(dataset.all_rays.shape[0]):
+        rays = np.asarray(dataset.all_rays[idx]).reshape(-1, 6)
+        rgb_map, _, _ = handle.render(rays, chunk=chunk)
+        rgb_map = np.clip(rgb_map, 0, 1)
+        if len(dataset.all_rgbs):
+            gt = np.asarray(dataset.all_rgbs[idx]).reshape(-1, 3)
+            PSNRs.append(psnr_fn(rgb_map, gt))
+    return PSNRs

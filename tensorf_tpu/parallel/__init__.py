@@ -1,0 +1,6 @@
+from .mesh import (
+    make_mesh,
+    shard_rays,
+    replicate,
+    pad_to_multiple,
+)

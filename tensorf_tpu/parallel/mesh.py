@@ -1,0 +1,59 @@
+"""Ray-batch data parallelism over a jax.sharding.Mesh.
+
+The reference has no in-process parallelism (single CUDA device,
+train.py:40; multi-GPU = process-level sweeps, SURVEY.md §2.10).  The TPU
+design shards ray batches over a 1-D ``data`` mesh axis: parameters are
+replicated, each chip renders its ray shard, and XLA inserts the gradient
+``psum`` over ICI automatically from the sharding annotations — no
+hand-written collectives (GSPMD partitioning of the jitted train step).
+
+Multi-host runs extend the same mesh over all processes via
+``jax.distributed.initialize`` (call before device queries); the code here
+is agnostic to host count.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int = 0, axis: str = "data") -> Mesh:
+    """1-D device mesh over the first n (default: all) visible devices."""
+    devs = jax.devices()
+    if n_devices and n_devices > 0:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def shard_rays(mesh: Mesh, arr, axis: str = "data"):
+    """Shard the leading (ray-batch) dimension across the mesh."""
+    return jax.device_put(arr, NamedSharding(mesh, P(axis)))
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params / optimizer state) on every device."""
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def pad_to_multiple(arr: np.ndarray, multiple: int):
+    """Pad the leading dim so batches divide evenly across devices;
+    returns (padded, original_length)."""
+    n = arr.shape[0]
+    rem = n % multiple
+    if rem == 0:
+        return arr, n
+    pad = multiple - rem
+    return (
+        np.concatenate([arr, np.broadcast_to(arr[-1:], (pad,) + arr.shape[1:])]),
+        n,
+    )
+
+
+def batch_sharding(mesh: Optional[Mesh], axis: str = "data"):
+    if mesh is None:
+        return None
+    return NamedSharding(mesh, P(axis))

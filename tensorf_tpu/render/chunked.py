@@ -1,0 +1,135 @@
+"""Chunked eval-time rendering — the `OctreeRender_trilinear_fast` surface.
+
+The reference's render driver (renderer.py:13-26) host-loops over ray
+chunks and calls the model per chunk.  Here each chunk is one call into a
+single cached jitted render program (fixed chunk shape; the tail chunk is
+padded), so full-image rendering runs at device speed with one compile.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.freq_mask import FreeMasks
+from .volume import render_rays
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "model",
+        "cfg",
+        "step_size",
+        "n_samples",
+        "white_bg",
+        "ndc_ray",
+        "shade_top_k",
+    ),
+)
+def _render_eval(
+    model,
+    cfg,
+    params,
+    alpha_mask,
+    rays,
+    aabb,
+    masks,
+    *,
+    step_size,
+    n_samples,
+    white_bg,
+    ndc_ray,
+    shade_top_k,
+):
+    out = render_rays(
+        model,
+        cfg,
+        params,
+        alpha_mask,
+        rays,
+        None,
+        masks,
+        aabb=aabb,
+        step_size=step_size,
+        n_samples=n_samples,
+        is_train=False,
+        white_bg=white_bg,
+        ndc_ray=ndc_ray,
+        shade_top_k=shade_top_k,
+    )
+    return out.rgb, out.depth, out.num_valid_samples
+
+
+def make_render_fn(
+    model,
+    cfg,
+    *,
+    step_size: float,
+    n_samples: int,
+    white_bg: bool,
+    ndc_ray: bool,
+    shade_top_k: Optional[int] = None,
+):
+    """Bind the static render configuration; returns f(params, alpha_mask,
+    rays, aabb, masks) -> (rgb, depth, num_valid)."""
+
+    def fn(params, alpha_mask, rays, aabb, masks=FreeMasks()):
+        return _render_eval(
+            model,
+            cfg,
+            params,
+            alpha_mask,
+            rays,
+            aabb,
+            masks,
+            step_size=step_size,
+            n_samples=n_samples,
+            white_bg=white_bg,
+            ndc_ray=ndc_ray,
+            shade_top_k=shade_top_k,
+        )
+
+    return fn
+
+
+def render_chunked(
+    render_fn,
+    params,
+    alpha_mask,
+    rays,
+    aabb,
+    *,
+    chunk: int = 8192,
+    masks: FreeMasks = FreeMasks(),
+):
+    """Render (M, 6) rays in fixed-size chunks; returns numpy rgb/depth.
+
+    Pads the tail chunk so every call hits the same compiled program.
+    """
+    rays = np.asarray(rays, dtype=np.float32)
+    M = rays.shape[0]
+    rgbs, depths = [], []
+    total_valid = 0
+    for start in range(0, M, chunk):
+        part = rays[start : start + chunk]
+        n = part.shape[0]
+        if n < chunk:
+            part = np.concatenate(
+                [part, np.broadcast_to(part[-1:], (chunk - n, 6))], axis=0
+            )
+        rgb, depth, nv = render_fn(
+            params, alpha_mask, jnp.asarray(part), aabb, masks
+        )
+        rgbs.append(np.asarray(rgb[:n]))
+        depths.append(np.asarray(depth[:n]))
+        total_valid += int(nv)
+    return (
+        np.concatenate(rgbs, axis=0),
+        np.concatenate(depths, axis=0),
+        total_valid,
+    )

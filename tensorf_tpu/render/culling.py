@@ -1,0 +1,204 @@
+"""Dense-alpha extraction, alpha-mask updates, and ray-set filtering.
+
+Counterparts of getDenseAlpha / updateAlphaMask / filtering_rays
+(reference models/tensorBase.py:214-288).  The dense sweeps run as jitted
+fixed-shape slice programs on device; the shape-changing decisions (new
+aabb, ray subset selection) happen on host at schedule boundaries, which is
+where the reference performs them too.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.alpha_mask import AlphaGridMask, max_pool_3d_same, sample_alpha
+from ..ops.rays import aabb_entry_exit, sample_along_rays
+from .volume import feature2density, normalize_coord
+
+
+@partial(jax.jit, static_argnames=("model", "cfg", "length"))
+def _alpha_at(model, cfg, params, alpha_mask, xyz, aabb, den_mask, *, length):
+    """alpha = 1 - exp(-sigma * length) at arbitrary points, with the
+    alpha-mask pre-cull as a gate (reference compute_alpha,
+    tensorBase.py:298-318)."""
+    if alpha_mask is not None:
+        gate = sample_alpha(alpha_mask, xyz) > 0
+    else:
+        gate = jnp.ones(xyz.shape[:-1], dtype=bool)
+    xyz_n = normalize_coord(xyz, aabb)
+    feat = model.density_feature(cfg, params, xyz_n, den_mask)
+    sigma = jnp.where(gate, feature2density(cfg, feat), 0.0)
+    return 1.0 - jnp.exp(-sigma * length)
+
+
+def compute_alpha_grid(
+    model,
+    cfg,
+    params,
+    alpha_mask,
+    aabb: np.ndarray,
+    grid_size: Tuple[int, int, int],
+    step_size: float,
+    den_mask=None,
+):
+    """Dense (gx, gy, gz) alpha grid + the world-space sample lattice.
+
+    Reference getDenseAlpha (tensorBase.py:214-230): linspace(0,1) lattice
+    lerped into the aabb, evaluated per x-slice.
+    """
+    gx, gy, gz = grid_size
+    aabb_j = jnp.asarray(aabb, jnp.float32).reshape(2, 3)
+    samples = jnp.stack(
+        jnp.meshgrid(
+            jnp.linspace(0, 1, gx),
+            jnp.linspace(0, 1, gy),
+            jnp.linspace(0, 1, gz),
+            indexing="ij",
+        ),
+        axis=-1,
+    )
+    dense_xyz = aabb_j[0] * (1 - samples) + aabb_j[1] * samples
+
+    rows = []
+    for i in range(gx):
+        a = _alpha_at(
+            model,
+            cfg,
+            params,
+            alpha_mask,
+            dense_xyz[i].reshape(-1, 3),
+            aabb_j,
+            den_mask,
+            length=float(step_size),
+        )
+        rows.append(np.asarray(a).reshape(gy, gz))
+    return np.stack(rows, axis=0), np.asarray(dense_xyz)
+
+
+def update_alpha_mask(
+    model,
+    cfg,
+    params,
+    alpha_mask,
+    aabb: np.ndarray,
+    grid_size: Tuple[int, int, int],
+    step_size: float,
+    den_mask=None,
+) -> Tuple[AlphaGridMask, np.ndarray, float]:
+    """Rebuild the occupancy mask and return the tight new aabb.
+
+    Reference updateAlphaMask (tensorBase.py:232-256): clamp, transpose to
+    (z, y, x), ks=3 max-pool dilation, threshold to {0,1}, new aabb from
+    the nonzero extent.  Returns (mask, new_aabb (2,3), occupancy_ratio).
+    """
+    alpha, dense_xyz = compute_alpha_grid(
+        model, cfg, params, alpha_mask, aabb, grid_size, step_size, den_mask
+    )
+    vol = jnp.asarray(np.clip(alpha, 0, 1).transpose(2, 1, 0))  # (z, y, x)
+    vol = max_pool_3d_same(vol, ks=3)
+    vol = (vol >= cfg.alpha_mask_thres).astype(jnp.float32)
+
+    vol_np = np.asarray(vol)
+    xyz_zyx = dense_xyz.transpose(2, 1, 0, 3)
+    valid = xyz_zyx[vol_np > 0.5]
+    if valid.size == 0:
+        new_aabb = np.asarray(aabb, np.float32).reshape(2, 3)
+    else:
+        new_aabb = np.stack([valid.min(axis=0), valid.max(axis=0)])
+    ratio = float(vol_np.sum() / vol_np.size)
+    mask = AlphaGridMask(
+        aabb=jnp.asarray(aabb, jnp.float32).reshape(2, 3), volume=vol
+    )
+    return mask, new_aabb, ratio
+
+
+@jax.jit
+def _bbox_hit(rays, aabb):
+    t_min, t_max = aabb_entry_exit(rays[:, :3], rays[:, 3:6], aabb)
+    return t_max > t_min
+
+
+@partial(jax.jit, static_argnames=("n_samples", "step_size", "near", "far"))
+def _alpha_hit(rays, alpha_mask, aabb, *, n_samples, step_size, near, far):
+    xyz, _, valid = sample_along_rays(
+        rays[:, :3],
+        rays[:, 3:6],
+        aabb,
+        near,
+        far,
+        step_size,
+        n_samples,
+        None,
+    )
+    alive = valid & (sample_alpha(alpha_mask, xyz) > 0)
+    return jnp.any(alive, axis=-1)
+
+
+def _chunked_mask(fn, rays: np.ndarray, chunk: int) -> np.ndarray:
+    out = []
+    for start in range(0, rays.shape[0], chunk):
+        part = rays[start : start + chunk]
+        n = part.shape[0]
+        if n < chunk:
+            part = np.concatenate(
+                [part, np.broadcast_to(part[-1:], (chunk - n, 6))], 0
+            )
+        out.append(np.asarray(fn(jnp.asarray(part)))[:n])
+    return np.concatenate(out, axis=0)
+
+
+def filter_rays_bbox(all_rays, all_rgbs, aabb, chunk: int = 51200):
+    """Keep rays whose segment intersects the scene bbox
+    (reference filtering_rays bbox_only=True, tensorBase.py:271-277)."""
+    rays = np.asarray(all_rays, np.float32)
+    aabb_j = jnp.asarray(aabb, jnp.float32).reshape(2, 3)
+    mask = _chunked_mask(lambda r: _bbox_hit(r, aabb_j), rays, chunk)
+    print(
+        f"========> bbox ray filtering: kept {mask.sum()}/{mask.size} "
+        f"({mask.mean():.3f})"
+    )
+    return rays[mask], np.asarray(all_rgbs)[mask]
+
+
+def filter_rays_alpha(
+    all_rays,
+    all_rgbs,
+    alpha_mask: AlphaGridMask,
+    aabb,
+    step_size: float,
+    near_far=(2.0, 6.0),
+    n_samples: int = 256,
+    chunk: int = 51200,
+):
+    """Keep rays with any alive sample under the alpha mask
+    (reference filtering_rays bbox_only=False, tensorBase.py:279-281)."""
+    rays = np.asarray(all_rays, np.float32)
+    aabb_j = jnp.asarray(aabb, jnp.float32).reshape(2, 3)
+    mask = _chunked_mask(
+        lambda r: _alpha_hit(
+            r,
+            alpha_mask,
+            aabb_j,
+            n_samples=n_samples,
+            step_size=float(step_size),
+            near=float(near_far[0]),
+            far=float(near_far[1]),
+        ),
+        rays,
+        chunk,
+    )
+    print(
+        f"========> alpha ray filtering: kept {mask.sum()}/{mask.size} "
+        f"({mask.mean():.3f})"
+    )
+    if mask.sum() == 0:
+        # An empty training set would NaN the loss (the reference would
+        # crash the same way); keep the unfiltered set and warn.
+        print("========> alpha ray filtering kept nothing; skipping filter")
+        return rays, np.asarray(all_rgbs)
+    return rays[mask], np.asarray(all_rgbs)[mask]

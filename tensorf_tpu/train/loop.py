@@ -1,0 +1,602 @@
+"""Training driver: the full few-shot TensoRF pipeline on TPU.
+
+Counterpart of ``reconstruction`` (reference train.py:168-544) implementing
+the *intended* schedule semantics (the reference's post-return blocks,
+train.py:450-485, which encode upstream TensoRF's coarse-to-fine behavior —
+SURVEY.md §2.11):
+
+  * alpha-mask updates at ``update_AlphaMask_list`` (aabb shrink at the
+    first event, alpha-based ray re-filtering at the second),
+  * geometric voxel upsampling at ``upsamp_list`` with optimizer re-init
+    (``lr_upsample_reset``),
+  * periodic checkpoints at ``save_ckpt_every``,
+  * L1 weight switching to ``L1_weight_rest`` after the first alpha-mask
+    update (upstream TensoRF behavior),
+  * FreeNeRF masks + occlusion regularization.
+
+TPU structure: shape-changing events are segment boundaries; each segment
+runs one jitted train step (re-traced on the new shapes).  Ray batches are
+sharded over a 1-D device mesh (params replicated, grads psum'd by GSPMD).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from collections import defaultdict
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.schema import TrainConfig, model_config_from
+from ..data import dataset_dict
+from ..eval.evaluation import (
+    RendererHandle,
+    evaluation,
+    evaluation_path,
+    psnrs_calculate,
+)
+from ..eval.mesh import convert_alpha_samples_to_ply
+from ..eval.vis import create_gif, save_rendered_image_per_train
+from ..models.config import (
+    GridGeometry,
+    cal_n_samples,
+    n_to_reso,
+    n_voxel_schedule,
+)
+from ..models.tensorf import FIELD_MODELS
+from ..ops.freq_mask import free_masks
+from ..parallel.mesh import make_mesh, replicate, shard_rays
+from ..render.culling import (
+    compute_alpha_grid,
+    filter_rays_alpha,
+    filter_rays_bbox,
+    update_alpha_mask,
+)
+from ..utils.ckpt import load_checkpoint, save_checkpoint
+from .losses import LossWeights
+from .optim import make_optimizer
+from .sampler import SimpleSampler
+from .step import TrainStatics, make_train_step
+
+
+def _make_logfolder(cfg: TrainConfig) -> str:
+    """basedir/<YYYY-MM-DD>/<expname> with Asia/Ho_Chi_Minh date
+    (reference train.py:193-200)."""
+    from datetime import datetime
+    from zoneinfo import ZoneInfo
+
+    date = datetime.now(ZoneInfo("Asia/Ho_Chi_Minh")).strftime("%Y-%m-%d")
+    logfolder = f"{cfg.basedir}/{date}/{cfg.expname}"
+    if cfg.overwrt and os.path.exists(logfolder):
+        shutil.rmtree(logfolder)
+    os.makedirs(logfolder, exist_ok=True)
+    for sub in ("imgs_vis", "imgs_rgba", "rgba"):
+        os.makedirs(f"{logfolder}/{sub}", exist_ok=True)
+    return logfolder
+
+
+def _summary_writer(logfolder: str):
+    try:
+        from tensorboardX import SummaryWriter
+
+        return SummaryWriter(logfolder)
+    except Exception:
+        class _Null:
+            def add_scalar(self, *a, **k):
+                pass
+
+            def close(self):
+                pass
+
+        return _Null()
+
+
+def _gift_dataset(dataset_cls, cfg: TrainConfig, split: str):
+    """Single-view datasets for progress GIFs (reference train.py:176-177);
+    only loaders with few-shot support accept them."""
+    try:
+        return dataset_cls(
+            cfg.datadir,
+            split=split,
+            downsample=cfg.downsample_train,
+            num_images=[26],
+            is_stack=True,
+        )
+    except Exception:
+        return None
+
+
+class TrainerState:
+    """Mutable cross-segment state (the role `tensorf` + locals play in the
+    reference loop)."""
+
+    def __init__(self):
+        self.params = None
+        self.opt_state = None
+        self.alpha_mask = None
+        self.geometry: Optional[GridGeometry] = None
+        self.n_samples: int = 0
+
+
+def reconstruction(cfg: TrainConfig) -> str:
+    model_cfg = model_config_from(cfg)
+    model = FIELD_MODELS[cfg.model_name]
+
+    # ---- datasets (train.py:172-180) ----
+    dataset_cls = dataset_dict[cfg.dataset_name]
+    train_dataset = dataset_cls(
+        cfg.datadir,
+        split="train",
+        downsample=cfg.downsample_train,
+        num_images=cfg.resolved_train_images(),
+    )
+    test_dataset = dataset_cls(
+        cfg.datadir,
+        split="test",
+        downsample=cfg.downsample_train,
+        num_images=cfg.resolved_test_images(),
+        is_stack=True,
+    )
+    train_gift = _gift_dataset(dataset_cls, cfg, "train")
+    test_gift = _gift_dataset(dataset_cls, cfg, "test")
+
+    white_bg = train_dataset.white_bg
+    near_far = tuple(float(v) for v in train_dataset.near_far)
+    ndc_ray = bool(cfg.ndc_ray)
+    model_cfg = model_cfg.replace(near_far=near_far)
+
+    logfolder = _make_logfolder(cfg)
+    writer = _summary_writer(logfolder)
+
+    # ---- resolution schedule (train.py:204-215) ----
+    aabb = np.asarray(train_dataset.scene_bbox, np.float32).reshape(2, 3)
+    grid_size = n_to_reso(cfg.N_voxel_init, aabb)
+    n_voxel_list = n_voxel_schedule(
+        cfg.N_voxel_init, cfg.N_voxel_final, len(cfg.upsamp_list)
+    )
+
+    state = TrainerState()
+    key = jax.random.PRNGKey(cfg.seed)
+
+    # ---- model init / resume (train.py:218-247) ----
+    if cfg.ckpt_path:
+        model_cfg, state.params, aabb, grid_size, state.alpha_mask, _ = (
+            load_checkpoint(cfg.ckpt_path)
+        )
+        model = FIELD_MODELS[model_cfg.model_name]
+        print(f"resumed from {cfg.ckpt_path} (grid {grid_size})")
+    else:
+        key, sub = jax.random.split(key)
+        state.params = model.init(sub, model_cfg, grid_size)
+
+    state.geometry = GridGeometry.create(aabb, grid_size, cfg.step_ratio)
+    state.n_samples = min(
+        int(cfg.nSamples), cal_n_samples(grid_size, cfg.step_ratio)
+    )
+
+    # ---- optimizer (train.py:263-273) ----
+    if cfg.lr_decay_iters > 0:
+        lr_factor = cfg.lr_decay_target_ratio ** (1 / cfg.lr_decay_iters)
+    else:
+        lr_factor = cfg.lr_decay_target_ratio ** (1 / cfg.n_iters)
+    print(
+        f"lr decay {cfg.lr_decay_target_ratio} "
+        f"{cfg.lr_decay_iters if cfg.lr_decay_iters > 0 else cfg.n_iters}"
+    )
+
+    optimizer, state.opt_state = make_optimizer(
+        state.params, cfg.lr_init, cfg.lr_basis, lr_factor
+    )
+
+    # ---- device mesh (ray-batch DP; params replicated) ----
+    mesh = make_mesh(cfg.n_devices)
+    n_dev = mesh.devices.size
+    if n_dev > 1:
+        state.params = replicate(mesh, state.params)
+        state.opt_state = replicate(mesh, state.opt_state)
+        print(f"data-parallel over {n_dev} devices: {mesh}")
+
+    def put_batch(arr):
+        return shard_rays(mesh, jnp.asarray(arr)) if n_dev > 1 else jnp.asarray(arr)
+
+    # ---- ray pre-filtering + sampler (train.py:288-292) ----
+    allrays = np.asarray(train_dataset.all_rays, np.float32)
+    allrgbs = np.asarray(train_dataset.all_rgbs, np.float32)
+    if not ndc_ray:
+        allrays, allrgbs = filter_rays_bbox(allrays, allrgbs, aabb)
+    sampler = SimpleSampler(allrays.shape[0], cfg.batch_size, cfg.seed)
+
+    l1_weight = cfg.L1_weight_inital
+    ratio = cfg.mask_ratio_list[0] if cfg.mask_ratio_list else 1.0
+
+    def build_statics() -> TrainStatics:
+        return TrainStatics(
+            n_samples=state.n_samples,
+            step_size=state.geometry.step_size,
+            white_bg=white_bg,
+            ndc_ray=ndc_ray,
+            total_steps=cfg.n_iters,
+            lr_factor=lr_factor,
+            weights=LossWeights(
+                ortho=cfg.Ortho_weight if "VM" in cfg.model_name else 0.0,
+                l1=l1_weight,
+                tv_density=cfg.TV_weight_density,
+                tv_app=cfg.TV_weight_app,
+                occ=cfg.occ_reg_loss_mult if (cfg.occ_reg or cfg.occ_reg_loss_mult > 0) else 0.0,
+                occ_range=cfg.occ_reg_range,
+                occ_wb_range=cfg.occ_wb_range,
+                occ_wb_prior=bool(cfg.occ_wb_prior),
+            ),
+            free_reg=bool(cfg.free_reg),
+            free_decomp=bool(cfg.free_decomp),
+            freq_reg_ratio=float(cfg.freq_reg_ratio) * float(ratio),
+            max_visible=(
+                cfg.max_vis_freq_ratio if cfg.max_vis_freq_ratio > 0 else None
+            ),
+            shade_top_k=cfg.shade_top_k if cfg.shade_top_k > 0 else None,
+        )
+
+    step_fn = make_train_step(model, model_cfg, build_statics(), optimizer)
+
+    def make_handle() -> RendererHandle:
+        return RendererHandle(
+            model=model,
+            cfg=model_cfg,
+            params=state.params,
+            alpha_mask=state.alpha_mask,
+            aabb=jnp.asarray(state.geometry.aabb_np),
+            step_size=state.geometry.step_size,
+            n_samples=state.n_samples,
+            white_bg=white_bg,
+            ndc_ray=ndc_ray,
+            shade_top_k=cfg.shade_top_k if cfg.shade_top_k > 0 else None,
+        )
+
+    def save_ckpt(path: str):
+        save_checkpoint(
+            path,
+            model_cfg,
+            jax.device_get(state.params),
+            state.geometry.aabb_np,
+            state.geometry.grid_size,
+            state.alpha_mask,
+        )
+
+    # ---- the loop (train.py:296-485, intended semantics) ----
+    history = defaultdict(list)
+    psnrs_window, psnrs_test = [], [0.0]
+    run_tic = time.time()
+    rays_done = 0
+    aabb_j = jnp.asarray(state.geometry.aabb_np)
+
+    for iteration in range(cfg.n_iters):
+        ids = sampler.nextids()
+        rays = put_batch(allrays[ids])
+        rgbs = put_batch(allrgbs[ids])
+        key, sub = jax.random.split(key)
+
+        with jax.profiler.StepTraceAnnotation("train", step_num=iteration):
+            state.params, state.opt_state, metrics = step_fn(
+                state.params,
+                state.opt_state,
+                state.alpha_mask,
+                aabb_j,
+                rays,
+                rgbs,
+                jnp.asarray(iteration, jnp.int32),
+                sub,
+            )
+        rays_done += cfg.batch_size
+
+        if iteration % cfg.progress_refresh_rate == 0:
+            m = jax.device_get(metrics)
+            psnrs_window.append(float(m["psnr"]))
+            writer.add_scalar("train/PSNR", float(m["psnr"]), iteration)
+            writer.add_scalar("train/mse", float(m["mse"]), iteration)
+            for k in ("reg_ortho", "reg_l1", "reg_tv_density", "reg_tv_app",
+                      "reg_occ"):
+                if k in m:
+                    writer.add_scalar(f"train/{k}", float(m[k]), iteration)
+            elapsed = time.time() - run_tic
+            print(
+                f"Iteration {iteration:05d}: "
+                f"train_psnr = {np.mean(psnrs_window):.2f} "
+                f"test_psnr = {np.mean(psnrs_test):.2f} "
+                f"mse = {float(m['mse']):.6f} "
+                f"rays/s = {rays_done / max(elapsed, 1e-9):,.0f} "
+                f"elapsed = {elapsed:.1f}s",
+                flush=True,
+            )
+            psnrs_window = psnrs_window[-50:]
+
+        # ---- periodic eval + progress figure (train.py:411-445) ----
+        if cfg.train_vis_every > 0 and iteration % cfg.train_vis_every == 0 and iteration > 0:
+            handle = make_handle()
+            if cfg.vis_every > 0 and iteration % cfg.vis_every == 0:
+                psnrs_test = psnrs_calculate(
+                    handle, test_dataset, chunk=cfg.batch_size
+                ) or [0.0]
+                writer.add_scalar("test/psnr", np.mean(psnrs_test), iteration)
+            history["iteration"].append(iteration)
+            history["train_psnr"].append(
+                round(float(np.mean(psnrs_window or [0])), 2)
+            )
+            history["test_psnr"].append(round(float(np.mean(psnrs_test)), 2))
+            history["mse"].append(
+                round(float(jax.device_get(metrics)["mse"]), 5)
+            )
+            if train_gift is not None:
+                save_rendered_image_per_train(
+                    train_gift,
+                    test_gift,
+                    handle,
+                    iteration,
+                    history,
+                    savePath=f"{logfolder}/gif/",
+                    chunk=cfg.batch_size,
+                )
+
+        rebuild = False
+
+        # ---- alpha-mask events (train.py:450-463, intended) ----
+        if iteration in cfg.update_AlphaMask_list:
+            gs = state.geometry.grid_size
+            if int(np.prod(gs)) < 256**3:
+                reso_mask = gs
+            else:
+                reso_mask = tuple(min(g, 256) for g in gs)
+            den_mask = None
+            if cfg.free_reg and cfg.free_decomp:
+                den_mask = tuple(
+                    np.asarray(m)
+                    for m in free_masks(
+                        model_cfg.pos_bit_length,
+                        model_cfg.view_bit_length,
+                        model_cfg.fea_bit_length,
+                        model_cfg.density_n_comp,
+                        model_cfg.app_n_comp,
+                        jnp.asarray(iteration),
+                        cfg.n_iters,
+                        float(cfg.freq_reg_ratio) * float(ratio),
+                    ).den
+                )
+                den_mask = tuple(jnp.asarray(m) for m in den_mask)
+            state.alpha_mask, new_aabb, occ_ratio = update_alpha_mask(
+                model,
+                model_cfg,
+                state.params,
+                state.alpha_mask,
+                state.geometry.aabb_np,
+                reso_mask,
+                state.geometry.step_size,
+                den_mask,
+            )
+            print(
+                f"[{iteration}] alpha mask updated "
+                f"(occupancy {occ_ratio*100:.2f}%), new bbox {new_aabb.tolist()}"
+            )
+            if iteration == cfg.update_AlphaMask_list[0]:
+                # shrink the factors to the tight bbox (tensoRF.py:290-327)
+                old = state.geometry
+                units = old.units
+                t_l = np.round(
+                    np.round((new_aabb[0] - old.aabb_np[0]) / units)
+                ).astype(np.int64)
+                b_r = np.round((new_aabb[1] - old.aabb_np[0]) / units).astype(
+                    np.int64
+                ) + 1
+                b_r = np.minimum(b_r, np.asarray(old.grid_size))
+                state.params = model.shrink(
+                    model_cfg, jax.device_get(state.params),
+                    tuple(t_l.tolist()), tuple(b_r.tolist()),
+                )
+                # aabb correction when the mask grid differs (tensoRF.py:317-323)
+                gs_arr = np.asarray(old.grid_size, np.float64)
+                t_l_r = t_l / (gs_arr - 1)
+                b_r_r = (b_r - 1) / (gs_arr - 1)
+                corrected = np.stack(
+                    [
+                        (1 - t_l_r) * old.aabb_np[0] + t_l_r * old.aabb_np[1],
+                        (1 - b_r_r) * old.aabb_np[0] + b_r_r * old.aabb_np[1],
+                    ]
+                )
+                new_size = tuple((b_r - t_l).tolist())
+                state.geometry = GridGeometry.create(
+                    corrected, new_size, cfg.step_ratio
+                )
+                aabb_j = jnp.asarray(state.geometry.aabb_np)
+                # param shapes changed -> fresh optimizer state
+                optimizer, state.opt_state = make_optimizer(
+                    state.params, cfg.lr_init, cfg.lr_basis, lr_factor
+                )
+                rebuild = True
+                print(
+                    f"[{iteration}] shrink -> grid {new_size}, "
+                    f"aabb {corrected.tolist()}"
+                )
+            if (
+                not ndc_ray
+                and len(cfg.update_AlphaMask_list) > 1
+                and iteration == cfg.update_AlphaMask_list[1]
+            ):
+                allrays, allrgbs = filter_rays_alpha(
+                    allrays,
+                    allrgbs,
+                    state.alpha_mask,
+                    state.geometry.aabb_np,
+                    state.geometry.step_size,
+                    near_far,
+                )
+                sampler = SimpleSampler(
+                    allrays.shape[0], cfg.batch_size, cfg.seed + iteration
+                )
+            # L1 weight switches after the first alpha-mask event (upstream
+            # TensoRF behavior; flags L1_weight_rest at opt.py:50).
+            if l1_weight != cfg.L1_weight_rest and cfg.L1_weight_rest >= 0:
+                l1_weight = cfg.L1_weight_rest
+                rebuild = True
+            if state.alpha_mask is not None and not rebuild:
+                rebuild = True  # treedef change (None -> mask) retraces anyway
+
+        # ---- voxel upsampling events (train.py:467-480, intended) ----
+        if iteration in cfg.upsamp_list:
+            if len(cfg.upsamp_list) == len(cfg.mask_ratio_list):
+                ratio = cfg.mask_ratio_list[cfg.upsamp_list.index(iteration)]
+            n_voxels = n_voxel_list.pop(0)
+            new_grid = n_to_reso(n_voxels, state.geometry.aabb_np)
+            state.n_samples = min(
+                int(cfg.nSamples),
+                cal_n_samples(new_grid, cfg.step_ratio),
+            )
+            state.params = model.upsample(
+                model_cfg, jax.device_get(state.params), new_grid
+            )
+            state.geometry = GridGeometry.create(
+                state.geometry.aabb_np, new_grid, cfg.step_ratio
+            )
+            aabb_j = jnp.asarray(state.geometry.aabb_np)
+
+            if cfg.lr_upsample_reset:
+                lr_scale = 1.0
+            else:
+                lr_scale = cfg.lr_decay_target_ratio ** (
+                    iteration / cfg.n_iters
+                )
+            optimizer, state.opt_state = make_optimizer(
+                state.params,
+                cfg.lr_init * lr_scale,
+                cfg.lr_basis * lr_scale,
+                lr_factor,
+            )
+            rebuild = True
+            print(f"[{iteration}] upsampled to {new_grid}")
+
+        if rebuild:
+            if n_dev > 1:
+                state.params = replicate(mesh, state.params)
+                state.opt_state = replicate(mesh, state.opt_state)
+            step_fn = make_train_step(
+                model, model_cfg, build_statics(), optimizer
+            )
+
+        # ---- periodic checkpoints (train.py:482-483) ----
+        if iteration in (cfg.save_ckpt_every or []):
+            save_ckpt(f"{logfolder}/{iteration//1000}k_{cfg.expname}.npz")
+
+    # ---- finalization (train.py:487-544) ----
+    final_path = f"{logfolder}/final_{cfg.expname}.npz"
+    save_ckpt(final_path)
+    elapsed = time.time() - run_tic
+    np.savetxt(f"{logfolder}/training_time.txt", np.asarray([elapsed]))
+    print(f"Total time {elapsed:.2f}s.")
+
+    handle = make_handle()
+    if cfg.render_train:
+        os.makedirs(f"{logfolder}/imgs_train_all", exist_ok=True)
+        ds = dataset_cls(
+            cfg.datadir,
+            split="train",
+            downsample=cfg.downsample_train,
+            is_stack=True,
+        )
+        p = evaluation(ds, handle, f"{logfolder}/imgs_train_all/")
+        print(f"======> {cfg.expname} train all psnr: {np.mean(p)} <========")
+    if cfg.render_test:
+        os.makedirs(f"{logfolder}/imgs_test_all", exist_ok=True)
+        p = evaluation(test_dataset, handle, f"{logfolder}/imgs_test_all/")
+        if p:
+            writer.add_scalar("test/psnr_all", np.mean(p), cfg.n_iters)
+            print(
+                f"======> {cfg.expname} test all psnr: {np.mean(p)} <========"
+            )
+    if cfg.render_path and hasattr(test_dataset, "render_path"):
+        os.makedirs(f"{logfolder}/imgs_path_all", exist_ok=True)
+        evaluation_path(
+            test_dataset,
+            handle,
+            test_dataset.render_path,
+            f"{logfolder}/imgs_path_all/",
+        )
+
+    np.savez(f"{logfolder}/history.npz", **{k: np.asarray(v) for k, v in history.items()})
+    create_gif(f"{logfolder}/gif/plot/vis_every", f"{logfolder}/gif/training.gif")
+    writer.close()
+    return final_path
+
+
+def render_test(cfg: TrainConfig):
+    """Render-only entry (reference train.py:77-165)."""
+    ckpt = cfg.ckpt or cfg.ckpt_path
+    if not ckpt or not os.path.exists(ckpt):
+        print("the ckpt path does not exists!!")
+        return
+    model_cfg, params, aabb, grid_size, alpha_mask, _ = load_checkpoint(ckpt)
+    model = FIELD_MODELS[model_cfg.model_name]
+    geometry = GridGeometry.create(aabb, grid_size, model_cfg.step_ratio)
+
+    dataset_cls = dataset_dict[cfg.dataset_name]
+    test_dataset = dataset_cls(
+        cfg.datadir,
+        split="test",
+        downsample=cfg.downsample_train,
+        is_stack=True,
+    )
+    handle = RendererHandle(
+        model=model,
+        cfg=model_cfg,
+        params=params,
+        alpha_mask=alpha_mask,
+        aabb=jnp.asarray(geometry.aabb_np),
+        step_size=geometry.step_size,
+        n_samples=min(int(cfg.nSamples), geometry.n_samples),
+        white_bg=test_dataset.white_bg,
+        ndc_ray=bool(cfg.ndc_ray),
+        shade_top_k=cfg.shade_top_k if cfg.shade_top_k > 0 else None,
+    )
+    logfolder = os.path.dirname(ckpt)
+    if cfg.render_train:
+        train_ds = dataset_cls(
+            cfg.datadir,
+            split="train",
+            downsample=cfg.downsample_train,
+            is_stack=True,
+        )
+        os.makedirs(f"{logfolder}/imgs_train_all", exist_ok=True)
+        p = evaluation(train_ds, handle, f"{logfolder}/imgs_train_all/")
+        print(f"======> {cfg.expname} train all psnr: {np.mean(p)} <========")
+    if cfg.render_test:
+        os.makedirs(f"{logfolder}/imgs_test_all", exist_ok=True)
+        p = evaluation(test_dataset, handle, f"{logfolder}/imgs_test_all/")
+        print(f"======> {cfg.expname} test all psnr: {np.mean(p)} <========")
+    if cfg.render_path and hasattr(test_dataset, "render_path"):
+        os.makedirs(f"{logfolder}/imgs_path_all", exist_ok=True)
+        evaluation_path(
+            test_dataset,
+            handle,
+            test_dataset.render_path,
+            f"{logfolder}/imgs_path_all/",
+        )
+
+
+def export_mesh(cfg: TrainConfig, ckpt_path: Optional[str] = None):
+    """Mesh-export entry (reference train.py:59-74)."""
+    ckpt = ckpt_path or cfg.ckpt or cfg.ckpt_path
+    model_cfg, params, aabb, grid_size, alpha_mask, _ = load_checkpoint(ckpt)
+    model = FIELD_MODELS[model_cfg.model_name]
+    geometry = GridGeometry.create(aabb, grid_size, model_cfg.step_ratio)
+    alpha, _ = compute_alpha_grid(
+        model,
+        model_cfg,
+        params,
+        alpha_mask,
+        geometry.aabb_np,
+        geometry.grid_size,
+        geometry.step_size,
+    )
+    out = ckpt.rsplit(".", 1)[0] + ".ply"
+    convert_alpha_samples_to_ply(alpha, out, geometry.aabb_np, level=0.005)
+    return out

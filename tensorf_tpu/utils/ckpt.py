@@ -1,0 +1,111 @@
+"""Self-describing checkpoints: kwargs + param pytree + packed alpha mask.
+
+Counterpart of TensorBase.save/load (reference models/tensorBase.py:160-175):
+a checkpoint carries its model hyperparameters (so render/export entry
+points can rebuild the model without the training config), every parameter
+leaf, and the alpha mask bit-packed with np.packbits.  Format is a single
+``.npz`` (pickle-free, torch-free).  Grid shapes change across upsample
+events; shapes are read back from the arrays themselves.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.alpha_mask import AlphaGridMask, pack_mask, unpack_mask
+from ..models.config import ModelConfig
+
+
+def _flatten(prefix: str, tree, out: Dict[str, np.ndarray]):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            _flatten(f"{prefix}/{k}" if prefix else k, v, out)
+    elif isinstance(tree, (tuple, list)):
+        for i, v in enumerate(tree):
+            _flatten(f"{prefix}/{i}", v, out)
+    else:
+        out[prefix] = np.asarray(tree)
+
+
+def _unflatten(flat: Dict[str, np.ndarray]):
+    root: Dict[str, Any] = {}
+    for path, arr in flat.items():
+        parts = path.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(arr)
+
+    def finalize(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return tuple(
+                finalize(node[str(i)]) for i in range(len(keys))
+            )
+        return {k: finalize(v) for k, v in node.items()}
+
+    return finalize(root)
+
+
+def save_checkpoint(
+    path: str,
+    cfg: ModelConfig,
+    params,
+    aabb,
+    grid_size,
+    alpha_mask: Optional[AlphaGridMask] = None,
+    extra: Optional[Dict[str, Any]] = None,
+):
+    entries: Dict[str, np.ndarray] = {}
+    _flatten("params", params, entries)
+    kwargs = dataclasses.asdict(cfg)
+    kwargs["gridSize"] = [int(g) for g in grid_size]
+    if extra:
+        kwargs["extra"] = extra
+    entries["kwargs"] = np.frombuffer(
+        json.dumps(kwargs).encode(), dtype=np.uint8
+    )
+    entries["aabb"] = np.asarray(aabb, np.float32).reshape(2, 3)
+    if alpha_mask is not None:
+        entries.update(pack_mask(alpha_mask))
+    np.savez(path, **entries)
+
+
+def load_checkpoint(path: str):
+    """Returns (cfg, params, aabb (2,3) np, grid_size, alpha_mask|None, extra)."""
+    data = np.load(path if path.endswith(".npz") else path, allow_pickle=False)
+    kwargs = json.loads(bytes(data["kwargs"]).decode())
+    grid_size = tuple(kwargs.pop("gridSize"))
+    extra = kwargs.pop("extra", None)
+    cfg_fields = {f.name for f in dataclasses.fields(ModelConfig)}
+    cfg_kwargs = {
+        k: (tuple(v) if isinstance(v, list) else v)
+        for k, v in kwargs.items()
+        if k in cfg_fields
+    }
+    cfg = ModelConfig(**cfg_kwargs)
+
+    flat = {
+        k[len("params/"):]: data[k]
+        for k in data.files
+        if k.startswith("params/")
+    }
+    params = _unflatten(flat)
+
+    alpha_mask = None
+    if "alphaMask.mask" in data.files:
+        alpha_mask = unpack_mask(
+            {
+                "alphaMask.shape": data["alphaMask.shape"],
+                "alphaMask.mask": data["alphaMask.mask"],
+                "alphaMask.aabb": data["alphaMask.aabb"],
+            }
+        )
+    return cfg, params, data["aabb"], grid_size, alpha_mask, extra
