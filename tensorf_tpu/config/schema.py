@@ -125,6 +125,8 @@ class TrainConfig:
     occ_grid_reso: int = 0
 
     # --- TPU-specific knobs (new surface) ---
+    fused_gathers: bool = True  # packed footprint gathers (fast path)
+    sample_budget: int = 0  # 0 = all samples; >0 = per-ray alive-sample cap
     shade_top_k: int = 0  # 0 = shade all samples; >0 = top-K compaction
     compute_dtype: str = "float32"  # shading MLP compute dtype
     n_devices: int = 0  # 0 = all visible devices (ray-batch DP)

@@ -1,0 +1,32 @@
+"""File-format helpers: PFM depth maps (reference ray_utils.py:231-266)."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+
+def read_pfm(filename: str):
+    """Read a PFM file -> (data (H, W[, 3]) float array, scale)."""
+    with open(filename, "rb") as f:
+        header = f.readline().decode("utf-8").rstrip()
+        if header == "PF":
+            color = True
+        elif header == "Pf":
+            color = False
+        else:
+            raise Exception("Not a PFM file.")
+
+        dim_match = re.match(r"^(\d+)\s(\d+)\s$", f.readline().decode("utf-8"))
+        if not dim_match:
+            raise Exception("Malformed PFM header.")
+        width, height = map(int, dim_match.groups())
+
+        scale = float(f.readline().rstrip())
+        endian = "<" if scale < 0 else ">"
+        scale = abs(scale)
+
+        data = np.fromfile(f, endian + "f")
+    shape = (height, width, 3) if color else (height, width)
+    return np.flipud(data.reshape(shape)), scale

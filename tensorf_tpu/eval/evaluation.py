@@ -37,6 +37,8 @@ class RendererHandle:
     white_bg: bool
     ndc_ray: bool
     shade_top_k: Optional[int] = None
+    fused: bool = True
+    sample_budget: Optional[int] = None
 
     def render(self, rays: np.ndarray, chunk: int = 8192):
         fn = make_render_fn(
@@ -47,6 +49,8 @@ class RendererHandle:
             white_bg=self.white_bg,
             ndc_ray=self.ndc_ray,
             shade_top_k=self.shade_top_k,
+            fused=self.fused,
+            sample_budget=self.sample_budget,
         )
         return render_chunked(
             fn, self.params, self.alpha_mask, rays, self.aabb, chunk=chunk

@@ -21,6 +21,9 @@ from ..ops.grid_sample import grid_sample_3d
 class AlphaGridMask(NamedTuple):
     aabb: jax.Array  # (2, 3)
     volume: jax.Array  # (Z, Y, X) float {0, 1}
+    # 1-voxel dilation of `volume`, used by the fast nearest-neighbor gate.
+    # None is accepted (rebuilt lazily); checkpoints store only `volume`.
+    dilated: jax.Array = None
 
     @property
     def grid_size(self):
@@ -28,11 +31,44 @@ class AlphaGridMask(NamedTuple):
         return self.volume.shape[::-1]
 
 
+def with_dilation(mask: AlphaGridMask) -> AlphaGridMask:
+    if mask.dilated is not None:
+        return mask
+    return mask._replace(dilated=max_pool_3d_same(mask.volume, ks=3))
+
+
 def sample_alpha(mask: AlphaGridMask, xyz: jax.Array) -> jax.Array:
-    """xyz (..., 3) world coords -> (...,) trilinear mask values."""
+    """xyz (..., 3) world coords -> (...,) trilinear mask values
+    (reference AlphaGridMask.sample_alpha, tensorBase.py:41-45)."""
     inv_size = 2.0 / (mask.aabb[1] - mask.aabb[0])
     norm = (xyz - mask.aabb[0]) * inv_size - 1.0
     return grid_sample_3d(mask.volume, norm)
+
+
+def sample_alpha_gate(mask: AlphaGridMask, xyz: jax.Array) -> jax.Array:
+    """Fast conservative occupancy gate: nearest lookup on the pre-dilated
+    volume — 1 gathered row per sample instead of trilinear's 8 (TPU
+    gathers are row-rate bound).
+
+    The reference culls where trilinear(volume) == 0 (support = the 1-voxel
+    corner neighborhood); nearest(max_pool3(volume)) covers a superset of
+    that support, so this gate never culls a sample the reference would
+    keep — it only keeps slightly more (harmless: their density still
+    composites exactly).
+    """
+    vol = mask.dilated if mask.dilated is not None else max_pool_3d_same(
+        mask.volume, ks=3
+    )
+    D, H, W = vol.shape
+    inv_size = 2.0 / (mask.aabb[1] - mask.aabb[0])
+    norm = jnp.clip((xyz - mask.aabb[0]) * inv_size - 1.0, -1.0, 1.0)
+    sizes = jnp.asarray([W, H, D], dtype=norm.dtype)
+    ijk = jnp.round((norm + 1.0) * 0.5 * (sizes - 1)).astype(jnp.int32)
+    flat = ijk[..., 2] * (H * W) + ijk[..., 1] * W + ijk[..., 0]
+    out_of_box = jnp.any(
+        (xyz < mask.aabb[0]) | (xyz > mask.aabb[1]), axis=-1
+    )
+    return jnp.where(out_of_box, 0.0, vol.reshape(-1)[flat])
 
 
 def max_pool_3d_same(volume: jax.Array, ks: int = 3) -> jax.Array:
@@ -63,7 +99,11 @@ def unpack_mask(entries) -> AlphaGridMask:
     shape = tuple(int(s) for s in entries["alphaMask.shape"])
     length = int(np.prod(shape))
     bits = np.unpackbits(entries["alphaMask.mask"])[:length].reshape(shape)
-    return AlphaGridMask(
-        aabb=jnp.asarray(entries["alphaMask.aabb"], jnp.float32).reshape(2, 3),
-        volume=jnp.asarray(bits, jnp.float32),
+    return with_dilation(
+        AlphaGridMask(
+            aabb=jnp.asarray(entries["alphaMask.aabb"], jnp.float32).reshape(
+                2, 3
+            ),
+            volume=jnp.asarray(bits, jnp.float32),
+        )
     )

@@ -23,13 +23,34 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.grid_sample import grid_sample_1d, grid_sample_2d
+from ..ops.grid_sample import (
+    footprint_sample_1d,
+    footprint_sample_2d,
+    grid_sample_1d,
+    grid_sample_2d,
+    line_sample_matmul,
+    make_footprint_1d,
+    make_footprint_2d,
+)
 from ..ops.resize import (
     resize_bilinear_align_corners,
     resize_linear_align_corners,
 )
 from .config import MAT_MODE, VEC_MODE, ModelConfig
 from .shading import init_shading
+
+# Below this length, line-factor sampling runs as a one-hot-lerp matmul on
+# the MXU (ops/grid_sample.line_sample_matmul) — both directions beat the
+# row-rate-bound gather/scatter by an order of magnitude.
+_LINE_MATMUL_MAX_LEN = 1024
+
+
+def _sample_line_packed(lpacked, coord):
+    if lpacked.shape[0] <= _LINE_MATMUL_MAX_LEN:
+        return line_sample_matmul(lpacked, coord)
+    return footprint_sample_1d(
+        make_footprint_1d(lpacked), lpacked.shape[0], coord
+    )
 
 
 def _basis_init(key, fan_in: int, fan_out: int) -> jax.Array:
@@ -161,6 +182,45 @@ class TensorVMSplit(FieldModel):
             coefs.append(p * l)
         return jnp.concatenate(coefs, axis=-1) @ params["basis"]
 
+    @staticmethod
+    def fused_features(cfg, params, xyz, den_mask, app_mask):
+        """One gather pass -> (density_feature (M,), app_feature (M, app_dim)).
+
+        The TPU-fast path: per axis, density+appearance planes are packed
+        channel-wise into one footprint table (ops/grid_sample.py), so each
+        sample costs 3 plane rows + 3 line rows instead of the reference's
+        36 grid_sample rows (TPU gathers are row-rate bound).  Numerically
+        identical to density_feature + app_feature for in-bbox samples.
+        """
+        den_feat = jnp.zeros(xyz.shape[:-1], dtype=xyz.dtype)
+        app_coefs = []
+        for i in range(3):
+            m0, m1 = MAT_MODE[i]
+            rd = cfg.density_n_comp[i]
+            packed = jnp.concatenate(
+                [params["density_plane"][i], params["app_plane"][i]], axis=-1
+            )
+            H, W, _ = packed.shape
+            pv = footprint_sample_2d(
+                make_footprint_2d(packed), H, W, xyz[..., (m0, m1)]
+            )
+            lpacked = jnp.concatenate(
+                [params["density_line"][i], params["app_line"][i]], axis=-1
+            )
+            lv = _sample_line_packed(lpacked, xyz[..., VEC_MODE[i]])
+            dp, ap = pv[..., :rd], pv[..., rd:]
+            dl, al = lv[..., :rd], lv[..., rd:]
+            if den_mask is not None:
+                dp = dp * den_mask[i]
+                dl = dl * den_mask[i]
+            if app_mask is not None:
+                ap = ap * app_mask[i]
+                al = al * app_mask[i]
+            den_feat = den_feat + jnp.sum(dp * dl, axis=-1)
+            app_coefs.append(ap * al)
+        app_feat = jnp.concatenate(app_coefs, axis=-1) @ params["basis"]
+        return den_feat, app_feat
+
     # ---- regularizers -----------------------------------------------------
 
     @staticmethod
@@ -287,6 +347,29 @@ class TensorCP(FieldModel):
         return prod @ params["basis"]
 
     @staticmethod
+    def fused_features(cfg, params, xyz, den_mask, app_mask):
+        """One packed line gather per axis -> (density, appearance) features.
+
+        3 gathered rows per sample (the density and appearance line factors
+        share each row) instead of 12 separate grid_sample rows.
+        """
+        rd = cfg.density_n_comp[0]
+        dprod = aprod = None
+        for i in range(3):
+            lpacked = jnp.concatenate(
+                [params["density_line"][i], params["app_line"][i]], axis=-1
+            )
+            lv = _sample_line_packed(lpacked, xyz[..., VEC_MODE[i]])
+            dl, al = lv[..., :rd], lv[..., rd:]
+            dprod = dl if dprod is None else dprod * dl
+            aprod = al if aprod is None else aprod * al
+        if den_mask is not None:
+            dprod = dprod * den_mask[0]
+        if app_mask is not None:
+            aprod = aprod * app_mask[0]
+        return jnp.sum(dprod, axis=-1), aprod @ params["basis"]
+
+    @staticmethod
     def density_l1(params) -> jax.Array:
         return sum(jnp.mean(jnp.abs(l)) for l in params["density_line"])
 
@@ -375,6 +458,29 @@ class TensorVM(FieldModel):
         ps, ls = TensorVM._gather(cfg, params, xyz, 0, cfg.app_n_comp[0])
         coefs = jnp.concatenate([p * l for p, l in zip(ps, ls)], axis=-1)
         return coefs @ params["basis"]
+
+    @staticmethod
+    def fused_features(cfg, params, xyz, den_mask, app_mask):
+        """Shared-tensor variant: the channel ranges already share rows, so
+        one footprint gather per axis serves both fields."""
+        rd, ra = cfg.density_n_comp[0], cfg.app_n_comp[0]
+        den_feat = jnp.zeros(xyz.shape[:-1], dtype=xyz.dtype)
+        app_coefs = []
+        for i in range(3):
+            m0, m1 = MAT_MODE[i]
+            plane = params["plane"][i]
+            H, W, _ = plane.shape
+            pv = footprint_sample_2d(
+                make_footprint_2d(plane), H, W, xyz[..., (m0, m1)]
+            )
+            line = params["line"][i]
+            lv = _sample_line_packed(line, xyz[..., VEC_MODE[i]])
+            den_feat = den_feat + jnp.sum(
+                pv[..., -rd:] * lv[..., -rd:], axis=-1
+            )
+            app_coefs.append(pv[..., :ra] * lv[..., :ra])
+        app_feat = jnp.concatenate(app_coefs, axis=-1) @ params["basis"]
+        return den_feat, app_feat
 
     @staticmethod
     def ortho_reg(params) -> jax.Array:

@@ -1,4 +1,12 @@
-from .grid_sample import grid_sample_2d, grid_sample_1d, grid_sample_3d
+from .grid_sample import (
+    grid_sample_2d,
+    grid_sample_1d,
+    grid_sample_3d,
+    make_footprint_2d,
+    make_footprint_1d,
+    footprint_sample_2d,
+    footprint_sample_1d,
+)
 from .encoding import positional_encoding
 from .sh import eval_sh_bases, eval_sh
 from .render_math import raw2alpha, exclusive_transmittance

@@ -108,6 +108,123 @@ def grid_sample_1d(line: jax.Array, coord: jax.Array) -> jax.Array:
     return out.reshape(*shape, C)
 
 
+# ---------------------------------------------------------------------------
+# Footprint-packed sampling: the TPU-fast path.
+#
+# TPU gathers are ROW-RATE bound (~0.2-0.4G rows/s on v5e regardless of row
+# width, vs ~750GB/s streaming).  A naive bilinear sample costs 4 gathered
+# rows per plane; a VMSplit sample batch costs 36 rows/sample across its
+# density+appearance planes and lines.  Packing the 2x2 texel neighborhood
+# into one row of a precomputed footprint table — F[y, x] = concat(P[y, x],
+# P[y, x+1], P[y+1, x], P[y+1, x+1]) — turns each bilinear sample into ONE
+# row gather; packing density+appearance channels into the same table
+# halves rows again (6 rows/sample total).  The footprint build is a cheap
+# streaming op (shifted concats) recomputed inside jit, and its AD
+# transpose folds tap gradients back onto the plane as a stencil — no
+# custom VJP needed.
+# ---------------------------------------------------------------------------
+
+
+def make_footprint_2d(plane: jax.Array) -> jax.Array:
+    """(H, W, C) -> (H, W, 4C) with each row holding its 2x2 neighborhood.
+
+    Rows at y=H-1 / x=W-1 zero-pad the out-of-range taps; align_corners
+    in-range coordinates give those taps zero lerp weight, so results are
+    exact.
+    """
+    H, W, C = plane.shape
+    p = jnp.pad(plane, ((0, 1), (0, 1), (0, 0)))
+    return jnp.concatenate(
+        [p[:H, :W], p[:H, 1 : W + 1], p[1 : H + 1, :W], p[1 : H + 1, 1 : W + 1]],
+        axis=-1,
+    )
+
+
+def make_footprint_1d(line: jax.Array) -> jax.Array:
+    """(L, C) -> (L, 2C) with each row holding texels (l, l+1)."""
+    L, C = line.shape
+    p = jnp.pad(line, ((0, 1), (0, 0)))
+    return jnp.concatenate([p[:L], p[1 : L + 1]], axis=-1)
+
+
+def footprint_sample_2d(
+    fp: jax.Array, H: int, W: int, coords: jax.Array
+) -> jax.Array:
+    """Bilinear sample from a footprint table; one gathered row per point.
+
+    fp: (H, W, 4C) from make_footprint_2d.  coords (..., 2) as in
+    grid_sample_2d.  Returns (..., C); exactly equal to
+    grid_sample_2d(plane, coords) for coords in [-1, 1].  Out-of-range
+    coords clamp to the edge (instead of torch's zeros padding) — callers
+    mask those samples out downstream, which is the renderer's contract
+    for invalid samples.
+    """
+    C4 = fp.shape[-1]
+    C = C4 // 4
+    shape = coords.shape[:-1]
+    coords = jnp.clip(coords.reshape(-1, 2), -1.0, 1.0)
+
+    x = (coords[:, 0] + 1.0) * 0.5 * (W - 1)
+    y = (coords[:, 1] + 1.0) * 0.5 * (H - 1)
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    wx, wy = x - x0f, y - y0f
+    idx = y0f.astype(jnp.int32) * W + x0f.astype(jnp.int32)
+    taps = jnp.take(fp.reshape(H * W, C4), idx, axis=0)  # (M, 4C)
+    taps = taps.reshape(-1, 4, C)
+    w = jnp.stack(
+        [(1 - wy) * (1 - wx), (1 - wy) * wx, wy * (1 - wx), wy * wx],
+        axis=-1,
+    )
+    out = jnp.einsum("mt,mtc->mc", w, taps)
+    return out.reshape(*shape, C)
+
+
+def footprint_sample_1d(
+    fp: jax.Array, L: int, coord: jax.Array
+) -> jax.Array:
+    """Linear sample from a 1-D footprint table; one row per point.
+
+    Same edge-clamp contract as footprint_sample_2d.
+    """
+    C2 = fp.shape[-1]
+    C = C2 // 2
+    shape = coord.shape
+    coord = jnp.clip(coord.reshape(-1), -1.0, 1.0)
+    pos = (coord + 1.0) * 0.5 * (L - 1)
+    i0f = jnp.floor(pos)
+    w1 = pos - i0f
+    taps = jnp.take(fp, i0f.astype(jnp.int32), axis=0).reshape(-1, 2, C)
+    w = jnp.stack([1 - w1, w1], axis=-1)
+    out = jnp.einsum("mt,mtc->mc", w, taps)
+    return out.reshape(*shape, C)
+
+
+def line_sample_matmul(line: jax.Array, coord: jax.Array) -> jax.Array:
+    """Linear line sampling as a dense one-hot-lerp matmul (MXU path).
+
+    For small tables (line factors are <= a few hundred rows) a gather is
+    row-rate bound on TPU while a (M, L) x (L, C) matmul runs on the MXU at
+    full rate — and its AD transpose is another matmul instead of a serial
+    scatter-add, which is the single most expensive op in the naive
+    backward.  Same edge-clamp contract as footprint_sample_1d; coords are
+    non-differentiable (the reference detaches them, tensoRF.py:212).
+    """
+    L, C = line.shape
+    shape = coord.shape
+    coord = jax.lax.stop_gradient(
+        jnp.clip(coord.reshape(-1), -1.0, 1.0)
+    )
+    pos = (coord + 1.0) * 0.5 * (L - 1)
+    i0 = jnp.floor(pos)
+    w1 = pos - i0
+    cols = jnp.arange(L, dtype=pos.dtype)[None, :]
+    a = jnp.where(cols == i0[:, None], 1.0 - w1[:, None], 0.0) + jnp.where(
+        cols == i0[:, None] + 1.0, w1[:, None], 0.0
+    )
+    out = a @ line
+    return out.reshape(*shape, C)
+
+
 def grid_sample_3d(volume: jax.Array, coords: jax.Array) -> jax.Array:
     """Trilinear sample of a (D, H, W) volume (single channel).
 

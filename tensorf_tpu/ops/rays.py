@@ -114,6 +114,112 @@ def ndc_rays(H, W, focal, near, rays_o, rays_d):
 
 
 # ---------------------------------------------------------------------------
+# Generic sampling helpers (public surface parity with
+# dataLoader/ray_utils.py — some are vestigial in the trainer but part of
+# the reference's API: sample_pdf :129, dda :174, ray_marcher :184,
+# depth2dist :9, ndc2dist :18, ndc_bbox :269).
+# ---------------------------------------------------------------------------
+
+def depth2dist(z_vals, cos_angle):
+    """Per-sample distances from depths, scaled by ray angle cosine."""
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = jnp.concatenate(
+        [dists, jnp.full_like(dists[..., :1], 1e10)], axis=-1
+    )
+    return dists * cos_angle[..., None]
+
+
+def ndc2dist(ndc_pts, cos_angle):
+    dists = jnp.linalg.norm(ndc_pts[:, 1:] - ndc_pts[:, :-1], axis=-1)
+    return jnp.concatenate([dists, 1e10 * cos_angle[..., None]], axis=-1)
+
+
+def sample_pdf(bins, weights, n_samples: int, det: bool = False, key=None):
+    """Inverse-CDF hierarchical sampling (dataLoader/ray_utils.py:129-171)."""
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+
+    if det or key is None:
+        u = jnp.linspace(0.0, 1.0, n_samples)
+        u = jnp.broadcast_to(u, (*cdf.shape[:-1], n_samples))
+    else:
+        u = jax.random.uniform(key, (*cdf.shape[:-1], n_samples))
+
+    inds = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(
+        cdf, u
+    )
+    below = jnp.maximum(0, inds - 1)
+    above = jnp.minimum(cdf.shape[-1] - 1, inds)
+
+    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_b = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), axis=-1)
+    bins_a = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), axis=-1)
+
+    denom = cdf_a - cdf_b
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    t = (u - cdf_b) / denom
+    return bins_b + t * (bins_a - bins_b)
+
+
+def dda(rays_o, rays_d, bbox_3d):
+    """Slab entry/exit with the reference's epsilon convention
+    (ray_utils.py:174-181)."""
+    inv = 1.0 / (rays_d + 1e-6)
+    t0 = (bbox_3d[:1] - rays_o) * inv
+    t1 = (bbox_3d[1:] - rays_o) * inv
+    t_min = jnp.max(jnp.minimum(t0, t1), axis=-1, keepdims=True)
+    t_max = jnp.min(jnp.maximum(t0, t1), axis=-1, keepdims=True)
+    return t_min, t_max
+
+
+def ray_marcher(
+    rays,
+    n_samples: int = 64,
+    lindisp: bool = False,
+    perturb: float = 0.0,
+    bbox_3d=None,
+    key=None,
+):
+    """Generic stratified sampler over (o, d, near, far) ray packets
+    (ray_utils.py:184-228)."""
+    rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+    near, far = rays[:, 6:7], rays[:, 7:8]
+    if bbox_3d is not None:
+        near, far = dda(rays_o, rays_d, bbox_3d)
+
+    z_steps = jnp.linspace(0, 1, n_samples)
+    if not lindisp:
+        z_vals = near * (1 - z_steps) + far * z_steps
+    else:
+        z_vals = 1.0 / (1.0 / near * (1 - z_steps) + 1.0 / far * z_steps)
+    z_vals = jnp.broadcast_to(z_vals, (rays.shape[0], n_samples))
+
+    if perturb > 0 and key is not None:
+        mids = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+        upper = jnp.concatenate([mids, z_vals[:, -1:]], axis=-1)
+        lower = jnp.concatenate([z_vals[:, :1], mids], axis=-1)
+        u = perturb * jax.random.uniform(key, z_vals.shape)
+        z_vals = lower + (upper - lower) * u
+
+    xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    return xyz, rays_o, rays_d, z_vals
+
+
+def ndc_bbox(all_rays) -> np.ndarray:
+    """Tight bbox over NDC ray extents (ray_utils.py:269-275)."""
+    rays = np.asarray(all_rays).reshape(-1, all_rays.shape[-1])
+    near = rays[:, :3]
+    far = rays[:, :3] + rays[:, 3:6]
+    lo = np.minimum(near.min(0), far.min(0))
+    hi = np.maximum(near.max(0), far.max(0))
+    print(f"===> ndc bbox near/far extents: {lo} {hi}")
+    return np.stack([lo, hi])
+
+
+# ---------------------------------------------------------------------------
 # AABB slab tests + fixed-count stratified sampling (jittable).
 # ---------------------------------------------------------------------------
 

@@ -29,6 +29,8 @@ from .volume import render_rays
         "white_bg",
         "ndc_ray",
         "shade_top_k",
+        "fused",
+        "sample_budget",
     ),
 )
 def _render_eval(
@@ -45,6 +47,8 @@ def _render_eval(
     white_bg,
     ndc_ray,
     shade_top_k,
+    fused,
+    sample_budget,
 ):
     out = render_rays(
         model,
@@ -61,6 +65,8 @@ def _render_eval(
         white_bg=white_bg,
         ndc_ray=ndc_ray,
         shade_top_k=shade_top_k,
+        fused=fused,
+        sample_budget=sample_budget,
     )
     return out.rgb, out.depth, out.num_valid_samples
 
@@ -74,6 +80,8 @@ def make_render_fn(
     white_bg: bool,
     ndc_ray: bool,
     shade_top_k: Optional[int] = None,
+    fused: bool = True,
+    sample_budget: Optional[int] = None,
 ):
     """Bind the static render configuration; returns f(params, alpha_mask,
     rays, aabb, masks) -> (rgb, depth, num_valid)."""
@@ -92,6 +100,8 @@ def make_render_fn(
             white_bg=white_bg,
             ndc_ray=ndc_ray,
             shade_top_k=shade_top_k,
+            fused=fused,
+            sample_budget=sample_budget,
         )
 
     return fn

@@ -16,7 +16,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.alpha_mask import AlphaGridMask, max_pool_3d_same, sample_alpha
+from ..models.alpha_mask import (
+    AlphaGridMask,
+    max_pool_3d_same,
+    sample_alpha_gate,
+    with_dilation,
+)
 from ..ops.rays import aabb_entry_exit, sample_along_rays
 from .volume import feature2density, normalize_coord
 
@@ -27,7 +32,7 @@ def _alpha_at(model, cfg, params, alpha_mask, xyz, aabb, den_mask, *, length):
     alpha-mask pre-cull as a gate (reference compute_alpha,
     tensorBase.py:298-318)."""
     if alpha_mask is not None:
-        gate = sample_alpha(alpha_mask, xyz) > 0
+        gate = sample_alpha_gate(alpha_mask, xyz) > 0
     else:
         gate = jnp.ones(xyz.shape[:-1], dtype=bool)
     xyz_n = normalize_coord(xyz, aabb)
@@ -111,8 +116,10 @@ def update_alpha_mask(
     else:
         new_aabb = np.stack([valid.min(axis=0), valid.max(axis=0)])
     ratio = float(vol_np.sum() / vol_np.size)
-    mask = AlphaGridMask(
-        aabb=jnp.asarray(aabb, jnp.float32).reshape(2, 3), volume=vol
+    mask = with_dilation(
+        AlphaGridMask(
+            aabb=jnp.asarray(aabb, jnp.float32).reshape(2, 3), volume=vol
+        )
     )
     return mask, new_aabb, ratio
 
@@ -135,7 +142,7 @@ def _alpha_hit(rays, alpha_mask, aabb, *, n_samples, step_size, near, far):
         n_samples,
         None,
     )
-    alive = valid & (sample_alpha(alpha_mask, xyz) > 0)
+    alive = valid & (sample_alpha_gate(alpha_mask, xyz) > 0)
     return jnp.any(alive, axis=-1)
 
 

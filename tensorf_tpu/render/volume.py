@@ -24,7 +24,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..models.alpha_mask import AlphaGridMask, sample_alpha
+from ..models.alpha_mask import AlphaGridMask, sample_alpha_gate
 from ..models.config import ModelConfig
 from ..models.shading import apply_shading
 from ..ops.freq_mask import FreeMasks
@@ -73,6 +73,8 @@ def render_rays(
     white_bg: bool,
     ndc_ray: bool,
     shade_top_k: Optional[int] = None,
+    fused: bool = True,
+    sample_budget: Optional[int] = None,
 ) -> RenderOutput:
     """Volume-render a batch of rays (B, 6) -> RenderOutput.
 
@@ -111,10 +113,82 @@ def render_rays(
 
     # Stage-2 cull: alpha-mask occupancy as a gate (tensorBase.py:349-354).
     if alpha_mask is not None:
-        ray_valid = ray_valid & (sample_alpha(alpha_mask, xyz) > 0)
+        ray_valid = ray_valid & (sample_alpha_gate(alpha_mask, xyz) > 0)
 
-    xyz_n = normalize_coord(xyz, aabb)  # (B, N, 3)
+    # Fixed-budget sample compaction — the TPU analog of the reference's
+    # boolean compaction: keep the nearest `sample_budget` alive samples per
+    # ray (depth order preserved).  Exact whenever the budget covers every
+    # alive sample (skipped samples have sigma == 0 and each kept sample
+    # retains its original lattice spacing, so transmittance is unchanged).
+    n_eff = n_samples
+    if sample_budget is not None and sample_budget < n_samples:
+        K = sample_budget
+        order = jnp.arange(n_samples, dtype=jnp.int32)
+        score = ray_valid.astype(jnp.int32) * (2 * n_samples - order)
+        _, sel = jax.lax.top_k(score, K)  # alive-and-near first
+        sel = jnp.sort(sel, axis=-1)  # restore depth order
+        xyz = jnp.take_along_axis(xyz, sel[..., None], axis=1)
+        z_vals = jnp.take_along_axis(z_vals, sel, axis=1)
+        dists = jnp.take_along_axis(dists, sel, axis=1)
+        ray_valid = jnp.take_along_axis(ray_valid, sel, axis=1)
+        n_eff = K
 
+    xyz_n = normalize_coord(xyz, aabb)  # (B, n_eff, 3)
+
+    if fused:
+        # One packed gather pass for density + appearance (row-rate bound
+        # TPU gathers; see models/*.fused_features), then shade everything
+        # behind the weight gate — the MLU/MXU work is cheap relative to
+        # the gathers it replaces.
+        den_feat, app_feat = model.fused_features(
+            cfg, params, xyz_n.reshape(-1, 3), masks.den, masks.app
+        )
+        sigma = jnp.where(
+            ray_valid, feature2density(cfg, den_feat.reshape(B, n_eff)), 0.0
+        )
+        _, weight, _ = raw2alpha(sigma, dists * cfg.distance_scale)
+        app_gate = weight > cfg.ray_march_weight_thres
+        num_valid = jnp.sum(app_gate.astype(jnp.int32))
+
+        if shade_top_k is not None and shade_top_k < n_eff:
+            # PE + MLP only on the top-K weights per ray; exact when K
+            # covers every above-threshold sample (tensorBase.py:370).
+            K = shade_top_k
+            w_sel, idx = jax.lax.top_k(weight, K)
+            feat_sel = jnp.take_along_axis(
+                app_feat.reshape(B, n_eff, -1), idx[..., None], axis=1
+            )
+            xyz_sel = jnp.take_along_axis(xyz_n, idx[..., None], axis=1)
+            gate_sel = w_sel > cfg.ray_march_weight_thres
+            view_sel = jnp.broadcast_to(viewdirs[:, None, :], (B, K, 3))
+            rgb_s = apply_shading(
+                cfg,
+                params["render"],
+                xyz_sel.reshape(-1, 3),
+                view_sel.reshape(-1, 3),
+                feat_sel.reshape(B * K, -1),
+                masks,
+            ).reshape(B, K, 3)
+            rgb_s = jnp.where(gate_sel[..., None], rgb_s, 0.0)
+            rgb_map = jnp.sum(w_sel[..., None] * rgb_s, axis=-2)
+        else:
+            view_full = jnp.broadcast_to(viewdirs[:, None, :], (B, n_eff, 3))
+            rgb_s = apply_shading(
+                cfg,
+                params["render"],
+                xyz_n.reshape(-1, 3),
+                view_full.reshape(-1, 3),
+                app_feat,
+                masks,
+            ).reshape(B, n_eff, 3)
+            rgb_s = jnp.where(app_gate[..., None], rgb_s, 0.0)
+            rgb_map = jnp.sum(weight[..., None] * rgb_s, axis=-2)
+        return _composite(
+            cfg, rgb_map, weight, sigma, z_vals, rays, k_bg, num_valid,
+            is_train=is_train, white_bg=white_bg,
+        )
+
+    n_samples = n_eff
     feat = model.density_feature(
         cfg, params, xyz_n.reshape(-1, 3), masks.den
     ).reshape(B, n_samples)
@@ -162,6 +236,16 @@ def render_rays(
         rgb_s = jnp.where(app_gate[..., None], rgb_s, 0.0)
         rgb_map = jnp.sum(weight[..., None] * rgb_s, axis=-2)
 
+    return _composite(
+        cfg, rgb_map, weight, sigma, z_vals, rays, k_bg, num_valid,
+        is_train=is_train, white_bg=white_bg,
+    )
+
+
+def _composite(
+    cfg, rgb_map, weight, sigma, z_vals, rays, k_bg, num_valid, *,
+    is_train: bool, white_bg: bool,
+) -> RenderOutput:
     acc = jnp.sum(weight, axis=-1)
 
     # White background; at train time a random 50% flip when the dataset

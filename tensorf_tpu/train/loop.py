@@ -238,6 +238,12 @@ def reconstruction(cfg: TrainConfig) -> str:
                 cfg.max_vis_freq_ratio if cfg.max_vis_freq_ratio > 0 else None
             ),
             shade_top_k=cfg.shade_top_k if cfg.shade_top_k > 0 else None,
+            fused=bool(cfg.fused_gathers),
+            sample_budget=(
+                cfg.sample_budget
+                if 0 < cfg.sample_budget < state.n_samples
+                else None
+            ),
         )
 
     step_fn = make_train_step(model, model_cfg, build_statics(), optimizer)
@@ -254,6 +260,12 @@ def reconstruction(cfg: TrainConfig) -> str:
             white_bg=white_bg,
             ndc_ray=ndc_ray,
             shade_top_k=cfg.shade_top_k if cfg.shade_top_k > 0 else None,
+            fused=bool(cfg.fused_gathers),
+            sample_budget=(
+                cfg.sample_budget
+                if 0 < cfg.sample_budget < state.n_samples
+                else None
+            ),
         )
 
     def save_ckpt(path: str):

@@ -37,6 +37,8 @@ class TrainStatics(NamedTuple):
     freq_reg_ratio: float = 1.0
     max_visible: Optional[float] = None
     shade_top_k: Optional[int] = None
+    fused: bool = True
+    sample_budget: Optional[int] = None
 
 
 def _build_masks(cfg: ModelConfig, statics: TrainStatics, step) -> FreeMasks:
@@ -79,6 +81,8 @@ def make_train_step(model, cfg: ModelConfig, statics: TrainStatics, optimizer):
             white_bg=statics.white_bg,
             ndc_ray=statics.ndc_ray,
             shade_top_k=statics.shade_top_k,
+            fused=statics.fused,
+            sample_budget=statics.sample_budget,
         )
         mse = mse_loss(out.rgb, rgbs)
         total = mse

@@ -1,0 +1,116 @@
+"""Tests for auxiliary surface: ray-util leftovers, PFM io, sweep expansion,
+colmap conversion, offline metrics."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorf_tpu.ops.rays import (
+    dda,
+    depth2dist,
+    ndc_bbox,
+    ray_marcher,
+    sample_pdf,
+)
+
+
+def test_sample_pdf_inverse_cdf(rng):
+    bins = jnp.linspace(0, 1, 9)[None].repeat(4, 0)
+    # all weight in the last bin -> samples concentrate near 1
+    w = jnp.zeros((4, 8)).at[:, -1].set(1.0)
+    s = sample_pdf(bins, w, 16, det=True)
+    # u=0 maps to the cdf origin (bin 0), every other sample lands in the
+    # last (only weighted) bin
+    assert np.asarray(s)[:, 1:].min() > 0.7
+
+
+def test_dda_and_ray_marcher():
+    bbox = jnp.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
+    rays_o = jnp.asarray([[0.0, 0.0, -3.0]])
+    rays_d = jnp.asarray([[0.0, 0.0, 1.0]])
+    t_min, t_max = dda(rays_o, rays_d, bbox)
+    assert np.isclose(float(t_min[0, 0]), 2.0, atol=1e-3)
+    assert np.isclose(float(t_max[0, 0]), 4.0, atol=1e-3)
+
+    rays = jnp.concatenate(
+        [rays_o, rays_d, jnp.asarray([[2.0]]), jnp.asarray([[4.0]])], -1
+    )
+    xyz, o, d, z = ray_marcher(rays, n_samples=8)
+    assert xyz.shape == (1, 8, 3)
+    assert np.isclose(float(z[0, 0]), 2.0) and np.isclose(float(z[0, -1]), 4.0)
+
+
+def test_depth2dist_and_ndc_bbox(rng):
+    z = jnp.asarray([[1.0, 2.0, 4.0]])
+    d = depth2dist(z, jnp.asarray([2.0]))
+    np.testing.assert_allclose(np.asarray(d)[0, :2], [2.0, 4.0])
+    rays = rng.normal(size=(10, 6)).astype(np.float32)
+    bb = ndc_bbox(rays)
+    assert bb.shape == (2, 3)
+    assert (bb[0] <= bb[1]).all()
+
+
+def test_read_pfm_roundtrip(tmp_path):
+    from tensorf_tpu.data.io import read_pfm
+
+    data = np.arange(12, dtype="<f4").reshape(3, 4)
+    p = tmp_path / "x.pfm"
+    with open(p, "wb") as f:
+        f.write(b"Pf\n4 3\n-1.0\n")
+        f.write(np.flipud(data).tobytes())
+    out, scale = read_pfm(str(p))
+    np.testing.assert_array_equal(out, data)
+    assert scale == 1.0
+
+
+def test_sweep_param_expansion():
+    import sys
+
+    sys.path.insert(0, "/root/repo/extra")
+    from auto_run_paramsets import get_param_list
+
+    params, names = get_param_list(
+        {"data_name": ["lego", "chair"], "n_iters": [100, 200]},
+        datafolder="/data",
+    )
+    assert len(params) == 4
+    assert "--datadir /data/lego" in params[0]
+    assert "--n_iters 100" in params[0]
+    assert names[0] == "lego-100"
+    # tuple keys zip
+    params, names = get_param_list(
+        {("a", "b"): [(1, 2), (3, 4)]}, datafolder=""
+    )
+    assert len(params) == 2
+    assert "--a 1 --b 2" in params[0]
+
+
+def test_colmap2nerf_conversion(tmp_path):
+    from tensorf_tpu.data.colmap2nerf import colmap2nerf, qvec2rotmat
+
+    # identity rotation quaternion
+    np.testing.assert_allclose(qvec2rotmat([1, 0, 0, 0]), np.eye(3))
+
+    text = tmp_path / "text"
+    text.mkdir()
+    (text / "cameras.txt").write_text(
+        "# comment\n1 PINHOLE 800 600 700 700 400 300\n"
+    )
+    # two cameras looking at the origin from +z (w2c = inverse of c2w)
+    lines = ["# images"]
+    for i, tz in enumerate([2.0, 3.0]):
+        lines.append(f"{i+1} 1 0 0 0 0 0 {tz} 1 img_{i}.png")
+        lines.append("0 0 -1")
+    (text / "images.txt").write_text("\n".join(lines) + "\n")
+
+    out = tmp_path / "transforms.json"
+    res = colmap2nerf(str(text), str(tmp_path / "images"), str(out))
+    assert out.exists()
+    data = json.loads(out.read_text())
+    assert len(data["frames"]) == 2
+    assert abs(data["camera_angle_x"] - 2 * np.arctan(800 / 1400)) < 1e-6
+    m = np.asarray(data["frames"][0]["transform_matrix"])
+    assert m.shape == (4, 4)
