@@ -130,6 +130,10 @@ class TrainConfig:
     shade_top_k: int = 0  # 0 = shade all samples; >0 = top-K compaction
     compute_dtype: str = "float32"  # shading MLP compute dtype
     n_devices: int = 0  # 0 = all visible devices (ray-batch DP)
+    distributed: bool = False  # jax.distributed.initialize() (multi-host)
+    profile_dir: str = ""  # dump a jax.profiler trace here when set
+    profile_start: int = 50  # first profiled step
+    profile_steps: int = 5  # number of profiled steps
     seed: int = 20211202
 
     def resolved_alpha_mask_thres(self) -> float:

@@ -123,6 +123,12 @@ class TrainerState:
 
 
 def reconstruction(cfg: TrainConfig) -> str:
+    if cfg.distributed:
+        # multi-host: one process per host joins the global device mesh;
+        # XLA collectives then ride ICI within slices / DCN across hosts
+        # (SURVEY.md §2.10 TPU-native plan)
+        jax.distributed.initialize()
+
     model_cfg = model_config_from(cfg)
     model = FIELD_MODELS[cfg.model_name]
 
@@ -291,6 +297,8 @@ def reconstruction(cfg: TrainConfig) -> str:
         rgbs = put_batch(allrgbs[ids])
         key, sub = jax.random.split(key)
 
+        if cfg.profile_dir and iteration == cfg.profile_start:
+            jax.profiler.start_trace(cfg.profile_dir)
         with jax.profiler.StepTraceAnnotation("train", step_num=iteration):
             state.params, state.opt_state, metrics = step_fn(
                 state.params,
@@ -302,6 +310,13 @@ def reconstruction(cfg: TrainConfig) -> str:
                 jnp.asarray(iteration, jnp.int32),
                 sub,
             )
+        if (
+            cfg.profile_dir
+            and iteration == cfg.profile_start + cfg.profile_steps
+        ):
+            jax.device_get(metrics["mse"])  # flush pending work
+            jax.profiler.stop_trace()
+            print(f"[profile] trace written to {cfg.profile_dir}")
         rays_done += cfg.batch_size
 
         if iteration % cfg.progress_refresh_rate == 0:
