@@ -245,9 +245,15 @@ def reconstruction(cfg: TrainConfig) -> str:
             ),
             shade_top_k=cfg.shade_top_k if cfg.shade_top_k > 0 else None,
             fused=bool(cfg.fused_gathers),
+            # the per-ray budget only becomes exact once the alpha mask
+            # culls most samples; before that every in-box sample is alive
+            # and a budget would truncate rays mid-scene
             sample_budget=(
                 cfg.sample_budget
-                if 0 < cfg.sample_budget < state.n_samples
+                if (
+                    state.alpha_mask is not None
+                    and 0 < cfg.sample_budget < state.n_samples
+                )
                 else None
             ),
         )
@@ -269,7 +275,10 @@ def reconstruction(cfg: TrainConfig) -> str:
             fused=bool(cfg.fused_gathers),
             sample_budget=(
                 cfg.sample_budget
-                if 0 < cfg.sample_budget < state.n_samples
+                if (
+                    state.alpha_mask is not None
+                    and 0 < cfg.sample_budget < state.n_samples
+                )
                 else None
             ),
         )
