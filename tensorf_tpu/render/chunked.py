@@ -123,8 +123,7 @@ def render_chunked(
     """
     rays = np.asarray(rays, dtype=np.float32)
     M = rays.shape[0]
-    rgbs, depths = [], []
-    total_valid = 0
+    pending = []
     for start in range(0, M, chunk):
         part = rays[start : start + chunk]
         n = part.shape[0]
@@ -132,12 +131,14 @@ def render_chunked(
             part = np.concatenate(
                 [part, np.broadcast_to(part[-1:], (chunk - n, 6))], axis=0
             )
-        rgb, depth, nv = render_fn(
-            params, alpha_mask, jnp.asarray(part), aabb, masks
+        # dispatch every chunk asynchronously; fetch after the loop so the
+        # device pipeline never stalls on host transfers
+        pending.append(
+            (n, render_fn(params, alpha_mask, jnp.asarray(part), aabb, masks))
         )
-        rgbs.append(np.asarray(rgb[:n]))
-        depths.append(np.asarray(depth[:n]))
-        total_valid += int(nv)
+    rgbs = [np.asarray(rgb[:n]) for n, (rgb, _, _) in pending]
+    depths = [np.asarray(depth[:n]) for n, (_, depth, _) in pending]
+    total_valid = int(sum(int(nv) for _, (_, _, nv) in pending))
     return (
         np.concatenate(rgbs, axis=0),
         np.concatenate(depths, axis=0),
