@@ -1,0 +1,106 @@
+"""Checkpoint-resume path and alpha-gate semantics tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorf_tpu.models.alpha_mask import (
+    AlphaGridMask,
+    sample_alpha,
+    sample_alpha_gate,
+    with_dilation,
+)
+
+
+def test_gate_is_conservative_superset_of_trilinear(rng):
+    """nearest(max_pool3(volume)) must never cull where trilinear > 0."""
+    vol = (rng.uniform(size=(12, 14, 16)) < 0.08).astype(np.float32)
+    mask = with_dilation(
+        AlphaGridMask(
+            aabb=jnp.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]]),
+            volume=jnp.asarray(vol),
+        )
+    )
+    xyz = jnp.asarray(rng.uniform(-1, 1, size=(5000, 3)).astype(np.float32))
+    tri = np.asarray(sample_alpha(mask, xyz)) > 0
+    gate = np.asarray(sample_alpha_gate(mask, xyz)) > 0
+    # everywhere the reference (trilinear) keeps a sample, the gate keeps it
+    assert not np.any(tri & ~gate)
+    # outside the mask aabb the gate is closed
+    far = jnp.asarray([[2.0, 0.0, 0.0], [0.0, -3.0, 0.0]])
+    assert not np.asarray(sample_alpha_gate(mask, far)).any()
+
+
+def test_reconstruction_resume_from_checkpoint(tmp_path, rng):
+    """ckpt_path resume rebuilds the model (incl. grid size + alpha mask)
+    and continues training (reference train.py:220-225)."""
+    from functools import partial
+
+    from tensorf_tpu.config.schema import TrainConfig
+    from tensorf_tpu.data import dataset_dict
+    from tensorf_tpu.data.synthetic import make_synthetic_blender_scene
+    from tensorf_tpu.train.loop import reconstruction
+    from tensorf_tpu.utils.ckpt import load_checkpoint
+
+    scene = str(tmp_path / "scene")
+    make_synthetic_blender_scene(scene, n_train=4, n_test=1, wh=(24, 24))
+
+    common = dict(
+        basedir=str(tmp_path / "log"),
+        datadir=scene,
+        dataset_name="blender",
+        model_name="TensorVMSplit",
+        shadingMode="MLP_Fea",
+        batch_size=256,
+        N_voxel_init=16**3,
+        N_voxel_final=20**3,
+        upsamp_list=[20],
+        update_AlphaMask_list=[30],
+        n_lamb_sigma=[2, 2, 2],
+        n_lamb_sh=[2, 2, 2],
+        data_dim_color=6,
+        featureC=16,
+        pos_pe=2,
+        view_pe=2,
+        fea_pe=2,
+        density_shift=-3.0,
+        vis_every=1000,
+        train_vis_every=1000,
+        render_test=0,
+        progress_refresh_rate=100,
+        n_devices=1,
+    )
+    orig = dataset_dict["blender"]
+    dataset_dict["blender"] = partial(orig, wh=(24, 24))
+    try:
+        ckpt = reconstruction(
+            TrainConfig(expname="seed_run", n_iters=40, **common)
+        )
+        cfg2, params2, aabb2, grid2, mask2, _ = load_checkpoint(ckpt)
+        assert grid2 == (20, 20, 20)  # upsample happened before save
+        assert mask2 is not None  # alpha mask persisted
+
+        ckpt2 = reconstruction(
+            TrainConfig(
+                expname="resumed_run",
+                n_iters=10,
+                ckpt_path=ckpt,
+                upsamp_list=[],
+                update_AlphaMask_list=[],
+                **{k: v for k, v in common.items()
+                   if k not in ("upsamp_list", "update_AlphaMask_list")},
+            )
+        )
+        cfg3, params3, aabb3, grid3, mask3, _ = load_checkpoint(ckpt2)
+        assert grid3 == grid2
+        assert mask3 is not None
+        # training actually moved the params
+        moved = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree.leaves(params2), jax.tree.leaves(params3)
+            )
+        )
+        assert moved
+    finally:
+        dataset_dict["blender"] = orig
