@@ -74,3 +74,17 @@ def test_pallas_line_kernel_matches_matmul(rng):
     np.testing.assert_allclose(
         np.asarray(g_out), np.asarray(g_ref), rtol=1e-4, atol=1e-5
     )
+
+
+def test_pallas_scatter_add_matches_xla(rng):
+    """Interpret-mode parity of the VMEM-accumulator scatter kernel."""
+    from tensorf_tpu.ops.pallas.scatter_add import scatter_add_pallas
+
+    M, HW, C = 5000, 256, 128
+    idx = jnp.asarray(rng.integers(0, HW, M).astype(np.int32))
+    g = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
+    ref = jnp.zeros((HW, C)).at[idx].add(g)
+    out = scatter_add_pallas(idx, g, HW)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-4
+    )
