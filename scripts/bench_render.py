@@ -6,6 +6,10 @@ Renders full 800x800 frames with the flagship TensorVMSplit model
 (128-grid, 16/48 comps, MLP_Fea) through the chunked eval renderer, with a
 15%-occupancy alpha mask + sample budget (the post-training serving
 configuration).  Prints one JSON line.
+
+Note: per-call dispatch overhead through the axon tunnel favors large
+chunks here; on directly-attached TPUs smaller chunks (4096-8192) have
+better per-ray device time (memory pressure grows with chunk size).
 """
 
 import json
