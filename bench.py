@@ -1,82 +1,129 @@
 #!/usr/bin/env python
-"""Benchmark: training throughput (rays/sec/chip) of the flagship model.
+"""Benchmark: training throughput (rays/sec/chip) of the flagship models.
 
 Measures the full jitted train step (render + AD + Adam + all regularizers
-+ FreeNeRF masks) on the lego-equivalent configuration — TensorVMSplit
-16/48 components, 128-grid, MLP_Fea shading, batch 4096, ~440 samples/ray
-(reference configs/lego.txt + configs/config.yaml) — in both schedule
-phases and reports the 30k-iteration-weighted average:
++ FreeNeRF masks) of the reference's two flagship lego configurations
+(reference configs/config.yaml + configs/lego.txt):
 
-  * phase A (iters 0-2000, 6.7%): no alpha mask, full sample lattice;
-  * phase B (iters 2000-30000, 93.3%): alpha-mask culling active — modeled
-    with a 15%-occupancy mask and a 128-sample per-ray budget (the TPU
-    analog of the reference's boolean-compaction culling; exact when the
-    budget covers the alive samples).
+  * TensorVMSplit 16/48, MLP_Fea, batch 4096 — the headline metric.
+  * TensorCP 16/48 (lego.txt model) — reported as `cp_rays_per_sec`.
 
-vs_baseline: the reference PyTorch implementation trains this
+The 30k-iteration schedule is modeled phase-by-phase at the *real* grid
+resolutions of the reference's upsample schedule (N_voxel 128^3 -> 300^3
+geometric over [2000,3000,4000,5500,7000], config.yaml:38-44), not a
+single fixed grid:
+
+  phase A  iters     0- 2000  128^3 grid, no alpha mask, full lattice
+  phase B  iters  2000- 7000  214^3 grid (schedule midpoint), alpha mask,
+                              per-ray sample budget
+  phase C  iters  7000-30000  300^3 grid (77% of all iters), alpha mask,
+                              per-ray sample budget
+
+Mask occupancy and the sample budget come from BENCH_PARAMS.json when a
+measured full-schedule run has written one (scripts/run_full_schedule.py),
+else conservative defaults (15% occupancy, budget 160).
+
+vs_baseline: the reference PyTorch implementation trains the VMSplit
 configuration at roughly 1.2e5 rays/sec on a desktop GPU (upstream TensoRF
 reports ~17 min for 30k x 4096-ray iters on a 2080Ti-class card; the repo
 itself publishes no numbers — SURVEY.md §6).  vs_baseline = measured /
 1.2e5; BASELINE.json's north star asks for >5x per chip.
+
+Roofline fields (VERDICT r1 #8): plane_gather_rows_per_sec /
+plane_scatter_rows_per_sec are the *measured* per-op ceilings from this
+chip (scripts/bench_ops.py methodology) so step-time progress is
+attributable against the v5e gather/scatter walls.
 
 Timing note: on the tunneled axon backend block_until_ready returns before
 execution completes; a scalar device_get is the only reliable barrier, and
 the N-vs-2N delta removes fixed dispatch overhead.
 """
 
+import os
+
+# persistent XLA compile cache — first compile of each program through
+# the tunneled TPU takes minutes; cached recompiles take seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_RAYS_PER_SEC = 1.2e5
 TOTAL_ITERS = 30000
-MASK_FREE_ITERS = 2000
+PHASES = (
+    # (name, iters, grid, mask_on)
+    ("A", 2000, 128, False),
+    ("B", 5000, 214, True),
+    ("C", 23000, 300, True),
+)
+DEFAULT_PARAMS = {"mask_occupancy": 0.15, "sample_budget": 160}
 
 
-def _phase_step_time(mask_on: bool, sample_budget, iters: int = 20):
+def load_params():
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_PARAMS.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            d = json.load(f)
+        return {**DEFAULT_PARAMS, **d}
+    return dict(DEFAULT_PARAMS)
+
+
+def _make_step(model_name, grid, mask_on, batch, params_bench):
     import jax
+
+    from tensorf_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from tensorf_tpu.models import FIELD_MODELS, ModelConfig
     from tensorf_tpu.models.alpha_mask import AlphaGridMask, with_dilation
+    from tensorf_tpu.models.config import cal_n_samples
     from tensorf_tpu.train.losses import LossWeights
     from tensorf_tpu.train.optim import make_optimizer
     from tensorf_tpu.train.step import TrainStatics, make_train_step
 
-    cfg = ModelConfig(
-        model_name="TensorVMSplit",
-        density_n_comp=(16, 16, 16),
-        app_n_comp=(48, 48, 48),
-        app_dim=27,
-        shading_mode="MLP_Fea",
-        pos_pe=2,
-        view_pe=2,
-        fea_pe=2,
-        feature_c=128,
-    )
+    if model_name == "TensorCP":
+        cfg = ModelConfig(
+            model_name="TensorCP", density_n_comp=(16,), app_n_comp=(48,),
+            app_dim=27, shading_mode="MLP", pos_pe=2, view_pe=2, fea_pe=2,
+            feature_c=128,
+        )
+    else:
+        cfg = ModelConfig(
+            model_name="TensorVMSplit", density_n_comp=(16, 16, 16),
+            app_n_comp=(48, 48, 48), app_dim=27, shading_mode="MLP_Fea",
+            pos_pe=2, view_pe=2, fea_pe=2, feature_c=128,
+        )
     model = FIELD_MODELS[cfg.model_name]
-    grid = (128, 128, 128)
-    batch = 4096
-    n_samples = 440  # cal_n_samples(128^3 grid, step_ratio=0.5)
+    gs = (grid, grid, grid)
+    n_samples = cal_n_samples(gs, 0.5)
+    step_size = float(3.0 / (grid - 1) * 0.5)
 
-    params = model.init(jax.random.PRNGKey(0), cfg, grid)
+    params = model.init(jax.random.PRNGKey(0), cfg, gs)
     lr_factor = 0.1 ** (1 / TOTAL_ITERS)
     optimizer, opt_state = make_optimizer(params, 0.02, 1e-3, lr_factor)
     statics = TrainStatics(
         n_samples=n_samples,
-        step_size=float(3.0 / 127 * 0.5),
+        step_size=step_size,
         white_bg=True,
         ndc_ray=False,
         total_steps=TOTAL_ITERS,
         lr_factor=lr_factor,
         weights=LossWeights(
-            ortho=0.01, l1=8e-5, tv_density=0.01, tv_app=0.01
+            ortho=0.01 if "VM" in model_name else 0.0,
+            l1=8e-5, tv_density=0.01, tv_app=0.01,
         ),
         free_reg=True,
         free_decomp=True,
         freq_reg_ratio=0.8,
-        sample_budget=sample_budget,
+        sample_budget=(
+            int(params_bench["sample_budget"]) if mask_on else None
+        ),
     )
     step_fn = make_train_step(model, cfg, statics, optimizer)
 
@@ -90,10 +137,13 @@ def _phase_step_time(mask_on: bool, sample_budget, iters: int = 20):
 
     mask = None
     if mask_on:
-        vol = (rng.uniform(size=grid) < 0.15).astype(np.float32)
-        mask = with_dilation(
-            AlphaGridMask(aabb=aabb, volume=jnp.asarray(vol))
-        )
+        # mask volumes stay at the resolution of their update event
+        # (reference updateAlphaMask at iters 2000/4000 -> <=214^3 here);
+        # occupancy from the measured run parameters.
+        mg = min(grid, 214)
+        occ = float(params_bench["mask_occupancy"])
+        vol = (rng.uniform(size=(mg, mg, mg)) < occ).astype(np.float32)
+        mask = with_dilation(AlphaGridMask(aabb=aabb, volume=jnp.asarray(vol)))
 
     key = jax.random.PRNGKey(0)
 
@@ -104,6 +154,16 @@ def _phase_step_time(mask_on: bool, sample_budget, iters: int = 20):
             jnp.asarray(i, jnp.int32), k,
         )
 
+    return run, params, opt_state
+
+
+def _phase_step_time(model_name, grid, mask_on, params_bench,
+                     batch=4096, iters=12):
+    import jax
+
+    run, params, opt_state = _make_step(
+        model_name, grid, mask_on, batch, params_bench
+    )
     params, opt_state, metrics = run(0, params, opt_state)
     float(jax.device_get(metrics["mse"]))
 
@@ -116,27 +176,88 @@ def _phase_step_time(mask_on: bool, sample_budget, iters: int = 20):
 
     t1, params, opt_state = timed(iters, params, opt_state)
     t2, params, opt_state = timed(2 * iters, params, opt_state)
-    return (t2 - t1) / iters, batch
+    return (t2 - t1) / iters
+
+
+def _roofline(batch=4096):
+    """Measured per-op ceilings for attribution (gather/scatter rows/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    M, R, C = 1_048_576, 90000, 256
+    idx = jnp.asarray(rng.integers(0, R, size=M).astype(np.int32))
+    tbl = jnp.asarray(rng.normal(size=(R, C)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
+
+    gather = jax.jit(lambda t, i: jnp.take(t, i, axis=0).sum(0))
+    scatter = jax.jit(
+        lambda gg, i: jnp.zeros((R, C), jnp.float32).at[i].add(gg)
+    )
+
+    def t_of(f, *a, iters=6):
+        o = f(*a); float(jax.device_get(jnp.sum(o)))
+        tic = time.perf_counter()
+        for _ in range(iters):
+            o = f(*a)
+        float(jax.device_get(jnp.sum(o)))
+        t1 = time.perf_counter() - tic
+        tic = time.perf_counter()
+        for _ in range(2 * iters):
+            o = f(*a)
+        float(jax.device_get(jnp.sum(o)))
+        return ((time.perf_counter() - tic) - t1) / iters
+
+    tg, ts = t_of(gather, tbl, idx), t_of(scatter, g, idx)
+    return {
+        "plane_gather_rows_per_sec": round(M / tg, 0),
+        "plane_scatter_rows_per_sec": round(M / ts, 0),
+        "gather_bytes_per_sec": round(M * C * 4 / tg, 0),
+        "scatter_bytes_per_sec": round(M * C * 4 / ts, 0),
+    }
+
+
+def weighted_rays_per_sec(phase_times, batch):
+    total_time = sum(n * t for (_, n, _, _), t in phase_times)
+    return TOTAL_ITERS * batch / total_time
 
 
 def main():
-    t_free, batch = _phase_step_time(mask_on=False, sample_budget=None)
-    t_mask, _ = _phase_step_time(mask_on=True, sample_budget=128)
+    params_bench = load_params()
+    batch = 4096
 
-    total_time = MASK_FREE_ITERS * t_free + (
-        TOTAL_ITERS - MASK_FREE_ITERS
-    ) * t_mask
-    rays_per_sec = TOTAL_ITERS * batch / total_time
-    print(
-        json.dumps(
-            {
-                "metric": "train_rays_per_sec_per_chip",
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
-            }
-        )
-    )
+    vm_times = [
+        (ph, _phase_step_time("TensorVMSplit", grid, mask_on, params_bench))
+        for ph in PHASES
+        for (_, _, grid, mask_on) in [ph]
+    ]
+    vm_rays = weighted_rays_per_sec(vm_times, batch)
+
+    cp_times = [
+        (ph, _phase_step_time("TensorCP", grid, mask_on, params_bench))
+        for ph in PHASES
+        for (_, _, grid, mask_on) in [ph]
+    ]
+    cp_rays = weighted_rays_per_sec(cp_times, batch)
+
+    roof = _roofline()
+    out = {
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(vm_rays, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(vm_rays / BASELINE_RAYS_PER_SEC, 3),
+        "cp_rays_per_sec": round(cp_rays, 1),
+        "cp_vs_baseline": round(cp_rays / BASELINE_RAYS_PER_SEC, 3),
+        "phase_ms_vm": {
+            name: round(t * 1e3, 1) for (name, _, _, _), t in vm_times
+        },
+        "phase_ms_cp": {
+            name: round(t * 1e3, 1) for (name, _, _, _), t in cp_times
+        },
+        "bench_params": params_bench,
+        **roof,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -9,6 +9,12 @@ scalar device_get barrier (axon tunnel: block_until_ready returns early).
 Usage: python scripts/bench_ops.py [--op SUBSTR] [--m M] [--rows R]
 """
 
+import os
+
+# persistent XLA compile cache — first compile of each program through
+# the tunneled TPU takes minutes; cached recompiles take seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import argparse
 import os
 import sys
@@ -21,6 +27,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def timed(fn, args, iters=8, warmup=2):
     import jax
+
+    from tensorf_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     out = None

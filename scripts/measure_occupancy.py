@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Measure post-convergence culling statistics from a trained checkpoint.
+
+Replaces bench.py's modeled phase-B parameters with *measured* ones
+(VERDICT r1 #2/#3): alpha-mask occupancy, the per-ray alive-sample
+histogram under the final grid/mask, and the budget that covers a target
+fraction of rays.  Writes BENCH_PARAMS.json at the repo root (bench.py
+picks it up automatically).
+
+Usage: python scripts/measure_occupancy.py <ckpt.npz> <datadir> [--out BENCH_PARAMS.json]
+"""
+
+import os
+
+# persistent XLA compile cache — first compile of each program through
+# the tunneled TPU takes minutes; cached recompiles take seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ckpt")
+    ap.add_argument("datadir")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "BENCH_PARAMS.json"
+    ))
+    ap.add_argument("--rays", type=int, default=65536)
+    args = ap.parse_args()
+
+    import jax
+
+    from tensorf_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    import jax.numpy as jnp
+
+    from tensorf_tpu.data.blender import BlenderDataset
+    from tensorf_tpu.models.alpha_mask import (
+        sample_alpha_gate,
+        sample_alpha_gate_coarse,
+        with_dilation,
+    )
+    from tensorf_tpu.models.config import GridGeometry
+    from tensorf_tpu.ops.rays import sample_along_rays
+    from tensorf_tpu.utils.ckpt import load_checkpoint
+
+    model_cfg, params, aabb, grid_size, alpha_mask, _ = load_checkpoint(
+        args.ckpt
+    )
+    geometry = GridGeometry.create(aabb, grid_size, model_cfg.step_ratio)
+    ds = BlenderDataset(args.datadir, split="test", is_stack=False)
+    rays = np.asarray(ds.all_rays, np.float32)
+    sel = np.random.default_rng(0).choice(
+        rays.shape[0], size=min(args.rays, rays.shape[0]), replace=False
+    )
+    rays = jnp.asarray(rays[sel])
+
+    occupancy = float(np.asarray(alpha_mask.volume).mean()) if alpha_mask is not None else 1.0
+    aabb_j = jnp.asarray(geometry.aabb_np)
+    near, far = model_cfg.near_far
+
+    alive_counts, cand_counts = [], []
+    alpha_mask = with_dilation(alpha_mask) if alpha_mask is not None else None
+    for i in range(0, rays.shape[0], 8192):
+        chunk = rays[i : i + 8192]
+        xyz, _, valid = sample_along_rays(
+            chunk[:, :3], chunk[:, 3:6], aabb_j, near, far,
+            geometry.step_size, geometry.n_samples, None,
+        )
+        if alpha_mask is not None:
+            cand = valid & sample_alpha_gate_coarse(alpha_mask, xyz)
+            alive = valid & (sample_alpha_gate(alpha_mask, xyz) > 0)
+        else:
+            cand = alive = valid
+        alive_counts.append(np.asarray(jnp.sum(alive, axis=-1)))
+        cand_counts.append(np.asarray(jnp.sum(cand, axis=-1)))
+    alive = np.concatenate(alive_counts)
+    cand = np.concatenate(cand_counts)
+
+    pct = lambda a, q: int(np.percentile(a, q))
+    stats = {
+        "mask_occupancy": round(occupancy, 4),
+        "grid_size": list(grid_size),
+        "n_samples_lattice": geometry.n_samples,
+        "alive_per_ray": {
+            "mean": round(float(alive.mean()), 1),
+            "p50": pct(alive, 50), "p90": pct(alive, 90),
+            "p99": pct(alive, 99), "p999": pct(alive, 99.9),
+            "max": int(alive.max()),
+        },
+        "candidates_per_ray": {
+            "mean": round(float(cand.mean()), 1),
+            "p50": pct(cand, 50), "p90": pct(cand, 90),
+            "p99": pct(cand, 99), "p999": pct(cand, 99.9),
+            "max": int(cand.max()),
+        },
+        # budget covering 99.9% of rays' coarse candidates, padded to a
+        # lane multiple — what bench.py and the presets should use.
+        "sample_budget": int(np.ceil(pct(cand, 99.9) / 32) * 32),
+        "source_ckpt": os.path.abspath(args.ckpt),
+    }
+    hist, edges = np.histogram(cand, bins=16)
+    stats["candidate_histogram"] = {
+        "edges": [int(e) for e in edges], "counts": [int(c) for c in hist]
+    }
+    with open(args.out, "w") as f:
+        json.dump(stats, f, indent=1)
+    print(json.dumps(stats, indent=1))
+
+
+if __name__ == "__main__":
+    main()

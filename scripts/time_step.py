@@ -5,6 +5,12 @@ Usage: python scripts/time_step.py [--topk K] [--budget K] [--dtype bf16]
        [--batch B] [--nsamples N] [--grid G] [--mask]
 """
 
+import os
+
+# persistent XLA compile cache — first compile of each program through
+# the tunneled TPU takes minutes; cached recompiles take seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import argparse
 import os
 import sys
@@ -20,6 +26,7 @@ def main():
     ap.add_argument("--topk", type=int, default=0)
     ap.add_argument("--budget", type=int, default=0)
     ap.add_argument("--dtype", type=str, default="float32")
+    ap.add_argument("--grid_dtype", type=str, default="float32")
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--nsamples", type=int, default=440)
     ap.add_argument("--grid", type=int, default=128)
@@ -28,6 +35,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from tensorf_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from tensorf_tpu.models import FIELD_MODELS, ModelConfig
@@ -47,6 +58,7 @@ def main():
         fea_pe=2,
         feature_c=128,
         dtype=args.dtype,
+        grid_dtype=args.grid_dtype,
     )
     model = FIELD_MODELS[cfg.model_name]
     g = args.grid

@@ -129,6 +129,10 @@ class TrainConfig:
     sample_budget: int = 0  # 0 = all samples; >0 = per-ray alive-sample cap
     shade_top_k: int = 0  # 0 = shade all samples; >0 = top-K compaction
     compute_dtype: str = "float32"  # shading MLP compute dtype
+    grid_dtype: str = "float32"  # factor-grid gather/scatter compute dtype
+    # Per-ray candidate cap in the mask-free phase (iters before the first
+    # alphaMask event); 0 = use sample_budget there too only if set.
+    prefilter_budget: int = 0
     n_devices: int = 0  # 0 = all visible devices (ray-batch DP)
     distributed: bool = False  # jax.distributed.initialize() (multi-host)
     profile_dir: str = ""  # dump a jax.profiler trace here when set
@@ -180,4 +184,5 @@ def model_config_from(cfg: TrainConfig) -> ModelConfig:
         fea_pe=cfg.fea_pe,
         feature_c=cfg.featureC,
         dtype=cfg.compute_dtype,
+        grid_dtype=cfg.grid_dtype,
     )

@@ -115,10 +115,11 @@ def evaluation(
                 ssims.append(rgb_ssim(rgb_map, gt_rgb, 1))
                 la = rgb_lpips(gt_rgb, rgb_map, "alex")
                 lv = rgb_lpips(gt_rgb, rgb_map, "vgg")
-                if la is not None:
-                    l_alex.append(la)
-                if lv is not None:
-                    l_vgg.append(lv)
+                # NaN (not omission) when LPIPS weights are unavailable,
+                # so mean.txt keeps the reference's 4-line format
+                # (renderer.py:218-222).
+                l_alex.append(la if la is not None else float("nan"))
+                l_vgg.append(lv if lv is not None else float("nan"))
 
         rgb_frames.append((rgb_map * 255).astype(np.uint8))
         depth_frames.append(depth_vis[..., ::-1])  # BGR->RGB for video
@@ -145,13 +146,14 @@ def evaluation(
         _write_video(f"{savePath}/{prtx}depthvideo.mp4", depth_frames)
 
         if PSNRs:
+            # reference 4-line mean.txt: psnr, ssim, lpips-alex, lpips-vgg
+            # (renderer.py:218-222); extra-metric lines are NaN when those
+            # metrics were not computed.
             lines = [float(np.mean(PSNRs))]
-            if ssims:
-                lines.append(float(np.mean(ssims)))
-            if l_alex:
-                lines.append(float(np.mean(l_alex)))
-            if l_vgg:
-                lines.append(float(np.mean(l_vgg)))
+            if compute_extra_metrics:
+                lines.append(float(np.mean(ssims)) if ssims else float("nan"))
+                lines.append(float(np.mean(l_alex)) if l_alex else float("nan"))
+                lines.append(float(np.mean(l_vgg)) if l_vgg else float("nan"))
             np.savetxt(f"{savePath}/{prtx}mean.txt", np.asarray(lines))
 
     return PSNRs

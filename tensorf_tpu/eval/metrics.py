@@ -77,7 +77,20 @@ _LPIPS_CACHE = {}
 
 
 def rgb_lpips(np_gt, np_im, net_name: str = "alex", device: str = "cpu") -> Optional[float]:
-    """LPIPS distance, or None when the lpips package / weights are absent."""
+    """LPIPS distance, or None when no weights are available.
+
+    Tries the first-party JAX implementation (eval/lpips_jax.py) with
+    vendored .npz weights first; falls back to the torch ``lpips`` package
+    when installed; returns None otherwise (evaluation then writes an
+    explicit NaN into mean.txt's LPIPS lines)."""
+    try:
+        from .lpips_jax import lpips as lpips_jax_fn
+
+        v = lpips_jax_fn(np_gt, np_im, net=net_name)
+        if v is not None:
+            return v
+    except Exception:
+        pass
     try:
         import lpips  # noqa: F401
         import torch

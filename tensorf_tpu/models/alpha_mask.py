@@ -24,6 +24,9 @@ class AlphaGridMask(NamedTuple):
     # 1-voxel dilation of `volume`, used by the fast nearest-neighbor gate.
     # None is accepted (rebuilt lazily); checkpoints store only `volume`.
     dilated: jax.Array = None
+    # Extra-dilated copy for the strided coarse pre-gate (see
+    # sample_alpha_gate_coarse); covers COARSE_STRIDE samples per lookup.
+    coarse: jax.Array = None
 
     @property
     def grid_size(self):
@@ -31,10 +34,28 @@ class AlphaGridMask(NamedTuple):
         return self.volume.shape[::-1]
 
 
+# Ray samples tested per coarse-gate lookup.  With step_ratio 0.5 the
+# stride-window spans <= (COARSE_STRIDE-1) * 0.5 voxels along the ray, so a
+# 3-voxel dilation radius (on top of the 1-voxel exact-gate dilation) keeps
+# the coarse gate a conservative superset of the exact gate for any sample
+# in the window (anisotropy margin included).
+COARSE_STRIDE = 4
+
+
 def with_dilation(mask: AlphaGridMask) -> AlphaGridMask:
-    if mask.dilated is not None:
+    if mask.dilated is not None and mask.coarse is not None:
         return mask
-    return mask._replace(dilated=max_pool_3d_same(mask.volume, ks=3))
+    dilated = (
+        mask.dilated
+        if mask.dilated is not None
+        else max_pool_3d_same(mask.volume, ks=3)
+    )
+    coarse = (
+        mask.coarse
+        if mask.coarse is not None
+        else max_pool_3d_same(dilated, ks=7)
+    )
+    return mask._replace(dilated=dilated, coarse=coarse)
 
 
 def sample_alpha(mask: AlphaGridMask, xyz: jax.Array) -> jax.Array:
@@ -69,6 +90,36 @@ def sample_alpha_gate(mask: AlphaGridMask, xyz: jax.Array) -> jax.Array:
         (xyz < mask.aabb[0]) | (xyz > mask.aabb[1]), axis=-1
     )
     return jnp.where(out_of_box, 0.0, vol.reshape(-1)[flat])
+
+
+def sample_alpha_gate_coarse(mask: AlphaGridMask, xyz: jax.Array) -> jax.Array:
+    """Strided occupancy pre-gate: one lookup per COARSE_STRIDE samples.
+
+    ``xyz`` (B, N, 3) are the full lattice sample positions; returns a
+    (B, N) candidate gate that is a conservative superset of
+    sample_alpha_gate at every sample (TPU gathers are row-rate bound, so
+    the full-lattice gate costs B*N rows — this costs B*N/COARSE_STRIDE).
+    Used only to pre-select budget candidates; the exact gate still runs on
+    the kept samples, so final sigma gating is unchanged.
+    """
+    B, N, _ = xyz.shape
+    vol = mask.coarse
+    if vol is None:
+        vol = max_pool_3d_same(
+            mask.dilated
+            if mask.dilated is not None
+            else max_pool_3d_same(mask.volume, ks=3),
+            ks=7,
+        )
+    probe = xyz[:, :: COARSE_STRIDE, :]  # (B, ceil(N/CS), 3)
+    D, H, W = vol.shape
+    inv_size = 2.0 / (mask.aabb[1] - mask.aabb[0])
+    norm = jnp.clip((probe - mask.aabb[0]) * inv_size - 1.0, -1.0, 1.0)
+    sizes = jnp.asarray([W, H, D], dtype=norm.dtype)
+    ijk = jnp.round((norm + 1.0) * 0.5 * (sizes - 1)).astype(jnp.int32)
+    flat = ijk[..., 2] * (H * W) + ijk[..., 1] * W + ijk[..., 0]
+    hit = vol.reshape(-1)[flat] > 0  # (B, n_probe)
+    return jnp.repeat(hit, COARSE_STRIDE, axis=1)[:, :N]
 
 
 def max_pool_3d_same(volume: jax.Array, ks: int = 3) -> jax.Array:

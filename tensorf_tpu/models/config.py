@@ -46,6 +46,12 @@ class ModelConfig:
     fea_pe: int = 6
     feature_c: int = 128
     dtype: str = "float32"  # compute dtype for the shading MLP
+    # Compute dtype for the factor-grid gathers: the footprint tables are
+    # cast to this before sampling, which halves both the forward gather
+    # bytes and the backward scatter-add bytes (the scatter is the step's
+    # most expensive op; see scripts/bench_ops.py).  Parameters, optimizer
+    # state and regularizers stay float32 regardless.
+    grid_dtype: str = "float32"
 
     # --- FreeNeRF mask bit lengths (reference models/tensorBase.py:81-83) ---
     @property

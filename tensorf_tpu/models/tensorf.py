@@ -45,12 +45,19 @@ from .shading import init_shading
 _LINE_MATMUL_MAX_LEN = 1024
 
 
-def _sample_line_packed(lpacked, coord):
+def _sample_line_packed(lpacked, coord, a_dtype=None):
     if lpacked.shape[0] <= _LINE_MATMUL_MAX_LEN:
-        return line_sample_matmul(lpacked, coord)
+        return line_sample_matmul(lpacked, coord, a_dtype=a_dtype)
     return footprint_sample_1d(
         make_footprint_1d(lpacked), lpacked.shape[0], coord
     )
+
+
+def _line_a_dtype(cfg):
+    """One-hot matrix dtype for line matmuls: bf16 when the model opts
+    into reduced-precision grid sampling (cfg.grid_dtype)."""
+    gdt = jnp.dtype(cfg.grid_dtype)
+    return gdt if gdt == jnp.bfloat16 else None
 
 
 def _basis_init(key, fan_in: int, fan_out: int) -> jax.Array:
@@ -194,12 +201,13 @@ class TensorVMSplit(FieldModel):
         """
         den_feat = jnp.zeros(xyz.shape[:-1], dtype=xyz.dtype)
         app_coefs = []
+        gdt = jnp.dtype(cfg.grid_dtype)
         for i in range(3):
             m0, m1 = MAT_MODE[i]
             rd = cfg.density_n_comp[i]
             packed = jnp.concatenate(
                 [params["density_plane"][i], params["app_plane"][i]], axis=-1
-            )
+            ).astype(gdt)
             H, W, _ = packed.shape
             pv = footprint_sample_2d(
                 make_footprint_2d(packed), H, W, xyz[..., (m0, m1)]
@@ -207,7 +215,9 @@ class TensorVMSplit(FieldModel):
             lpacked = jnp.concatenate(
                 [params["density_line"][i], params["app_line"][i]], axis=-1
             )
-            lv = _sample_line_packed(lpacked, xyz[..., VEC_MODE[i]])
+            lv = _sample_line_packed(
+                lpacked, xyz[..., VEC_MODE[i]], _line_a_dtype(cfg)
+            )
             dp, ap = pv[..., :rd], pv[..., rd:]
             dl, al = lv[..., :rd], lv[..., rd:]
             if den_mask is not None:
@@ -220,6 +230,56 @@ class TensorVMSplit(FieldModel):
             app_coefs.append(ap * al)
         app_feat = jnp.concatenate(app_coefs, axis=-1) @ params["basis"]
         return den_feat, app_feat
+
+    @staticmethod
+    def density_feature_fused(cfg, params, xyz, mask) -> jax.Array:
+        """Density-only footprint path: 3 plane rows + 3 line matmuls.
+
+        Same numerics as density_feature; used by the split render path
+        (density over the full lattice, appearance only on the top-K
+        shading samples) where packing appearance into the same gather
+        would waste 3/4 of the gather/scatter bytes.
+        """
+        gdt = jnp.dtype(cfg.grid_dtype)
+        feat = jnp.zeros(xyz.shape[:-1], dtype=xyz.dtype)
+        for i in range(3):
+            m0, m1 = MAT_MODE[i]
+            plane = params["density_plane"][i].astype(gdt)
+            H, W, _ = plane.shape
+            p = footprint_sample_2d(
+                make_footprint_2d(plane), H, W, xyz[..., (m0, m1)]
+            )
+            l = _sample_line_packed(
+                params["density_line"][i], xyz[..., VEC_MODE[i]],
+                _line_a_dtype(cfg),
+            )
+            if mask is not None:
+                p = p * mask[i]
+                l = l * mask[i]
+            feat = feat + jnp.sum(p * l, axis=-1)
+        return feat
+
+    @staticmethod
+    def app_feature_fused(cfg, params, xyz, mask) -> jax.Array:
+        """Appearance-only footprint path (see density_feature_fused)."""
+        gdt = jnp.dtype(cfg.grid_dtype)
+        coefs = []
+        for i in range(3):
+            m0, m1 = MAT_MODE[i]
+            plane = params["app_plane"][i].astype(gdt)
+            H, W, _ = plane.shape
+            p = footprint_sample_2d(
+                make_footprint_2d(plane), H, W, xyz[..., (m0, m1)]
+            )
+            l = _sample_line_packed(
+                params["app_line"][i], xyz[..., VEC_MODE[i]],
+                _line_a_dtype(cfg),
+            )
+            if mask is not None:
+                p = p * mask[i]
+                l = l * mask[i]
+            coefs.append(p * l)
+        return jnp.concatenate(coefs, axis=-1) @ params["basis"]
 
     # ---- regularizers -----------------------------------------------------
 
@@ -370,6 +430,33 @@ class TensorCP(FieldModel):
         return jnp.sum(dprod, axis=-1), aprod @ params["basis"]
 
     @staticmethod
+    def density_feature_fused(cfg, params, xyz, mask) -> jax.Array:
+        """CP density is lines-only — already the fast (matmul) path."""
+        prod = None
+        for i in range(3):
+            lv = _sample_line_packed(
+                params["density_line"][i], xyz[..., VEC_MODE[i]],
+                _line_a_dtype(cfg),
+            )
+            prod = lv if prod is None else prod * lv
+        if mask is not None:
+            prod = prod * mask[0]
+        return jnp.sum(prod, axis=-1)
+
+    @staticmethod
+    def app_feature_fused(cfg, params, xyz, mask) -> jax.Array:
+        prod = None
+        for i in range(3):
+            lv = _sample_line_packed(
+                params["app_line"][i], xyz[..., VEC_MODE[i]],
+                _line_a_dtype(cfg),
+            )
+            prod = lv if prod is None else prod * lv
+        if mask is not None:
+            prod = prod * mask[0]
+        return prod @ params["basis"]
+
+    @staticmethod
     def density_l1(params) -> jax.Array:
         return sum(jnp.mean(jnp.abs(l)) for l in params["density_line"])
 
@@ -481,6 +568,41 @@ class TensorVM(FieldModel):
             app_coefs.append(pv[..., :ra] * lv[..., :ra])
         app_feat = jnp.concatenate(app_coefs, axis=-1) @ params["basis"]
         return den_feat, app_feat
+
+    @staticmethod
+    def density_feature_fused(cfg, params, xyz, mask) -> jax.Array:
+        """Shared-tensor variant: density channel range of the footprint."""
+        rd = cfg.density_n_comp[0]
+        feat = jnp.zeros(xyz.shape[:-1], dtype=xyz.dtype)
+        for i in range(3):
+            m0, m1 = MAT_MODE[i]
+            plane = params["plane"][i, :, :, -rd:]
+            H, W, _ = plane.shape
+            p = footprint_sample_2d(
+                make_footprint_2d(plane), H, W, xyz[..., (m0, m1)]
+            )
+            l = _sample_line_packed(
+                params["line"][i, :, -rd:], xyz[..., VEC_MODE[i]]
+            )
+            feat = feat + jnp.sum(p * l, axis=-1)
+        return feat
+
+    @staticmethod
+    def app_feature_fused(cfg, params, xyz, mask) -> jax.Array:
+        ra = cfg.app_n_comp[0]
+        coefs = []
+        for i in range(3):
+            m0, m1 = MAT_MODE[i]
+            plane = params["plane"][i, :, :, :ra]
+            H, W, _ = plane.shape
+            p = footprint_sample_2d(
+                make_footprint_2d(plane), H, W, xyz[..., (m0, m1)]
+            )
+            l = _sample_line_packed(
+                params["line"][i, :, :ra], xyz[..., VEC_MODE[i]]
+            )
+            coefs.append(p * l)
+        return jnp.concatenate(coefs, axis=-1) @ params["basis"]
 
     @staticmethod
     def ortho_reg(params) -> jax.Array:

@@ -199,7 +199,9 @@ def footprint_sample_1d(
     return out.reshape(*shape, C)
 
 
-def line_sample_matmul(line: jax.Array, coord: jax.Array) -> jax.Array:
+def line_sample_matmul(
+    line: jax.Array, coord: jax.Array, a_dtype=None
+) -> jax.Array:
     """Linear line sampling as a dense one-hot-lerp matmul (MXU path).
 
     For small tables (line factors are <= a few hundred rows) a gather is
@@ -208,6 +210,11 @@ def line_sample_matmul(line: jax.Array, coord: jax.Array) -> jax.Array:
     scatter-add, which is the single most expensive op in the naive
     backward.  Same edge-clamp contract as footprint_sample_1d; coords are
     non-differentiable (the reference detaches them, tensoRF.py:212).
+
+    ``a_dtype`` sets the one-hot matrix dtype: the (M, L) lerp-weight
+    matrix dominates HBM traffic of this op, and bfloat16 halves it at a
+    ~0.4% quantization of the interpolation weights (the table values and
+    the accumulation stay in ``line.dtype``/float32).
     """
     L, C = line.shape
     shape = coord.shape
@@ -221,7 +228,14 @@ def line_sample_matmul(line: jax.Array, coord: jax.Array) -> jax.Array:
     a = jnp.where(cols == i0[:, None], 1.0 - w1[:, None], 0.0) + jnp.where(
         cols == i0[:, None] + 1.0, w1[:, None], 0.0
     )
-    out = a @ line
+    if a_dtype is not None:
+        a = a.astype(a_dtype)
+        out = jnp.einsum(
+            "ml,lc->mc", a, line.astype(a_dtype),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        out = a @ line
     return out.reshape(*shape, C)
 
 

@@ -107,6 +107,105 @@ def make_render_fn(
     return fn
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "model",
+        "cfg",
+        "step_size",
+        "n_samples",
+        "white_bg",
+        "ndc_ray",
+        "shade_top_k",
+        "fused",
+        "sample_budget",
+        "tile",
+    ),
+)
+def _render_frame(
+    model,
+    cfg,
+    params,
+    alpha_mask,
+    rays,  # (T*tile, 6) padded
+    aabb,
+    masks,
+    *,
+    step_size,
+    n_samples,
+    white_bg,
+    ndc_ray,
+    shade_top_k,
+    fused,
+    sample_budget,
+    tile,
+):
+    """Whole-frame render as ONE device program: lax.map over ray tiles.
+
+    The host-loop chunk driver costs one dispatch per chunk — through a
+    tunneled chip that dominates frame time (reference surface being
+    replaced: renderer.py:13-26 host loop).  Here the tile loop is compiled
+    into the program, so a full frame is a single dispatch.
+    """
+    tiles = rays.reshape(-1, tile, 6)
+
+    def body(r):
+        out = render_rays(
+            model, cfg, params, alpha_mask, r, None, masks,
+            aabb=aabb, step_size=step_size, n_samples=n_samples,
+            is_train=False, white_bg=white_bg, ndc_ray=ndc_ray,
+            shade_top_k=shade_top_k, fused=fused,
+            sample_budget=sample_budget,
+        )
+        return out.rgb, out.depth
+
+    rgb, depth = jax.lax.map(body, tiles)
+    return rgb.reshape(-1, 3), depth.reshape(-1)
+
+
+def render_frame(
+    render_cfg: dict,
+    params,
+    alpha_mask,
+    rays,
+    aabb,
+    *,
+    tile: int = 16384,
+    masks: FreeMasks = FreeMasks(),
+):
+    """Render (M, 6) rays in one device dispatch; returns numpy rgb/depth.
+
+    ``render_cfg`` holds the static kwargs of make_render_fn (model, cfg,
+    step_size, n_samples, white_bg, ndc_ray, shade_top_k, fused,
+    sample_budget).
+    """
+    rays = np.asarray(rays, dtype=np.float32)
+    M = rays.shape[0]
+    pad = (-M) % tile
+    if pad:
+        rays = np.concatenate(
+            [rays, np.broadcast_to(rays[-1:], (pad, 6))], axis=0
+        )
+    rgb, depth = _render_frame(
+        render_cfg["model"],
+        render_cfg["cfg"],
+        params,
+        alpha_mask,
+        jnp.asarray(rays),
+        aabb,
+        masks,
+        step_size=render_cfg["step_size"],
+        n_samples=render_cfg["n_samples"],
+        white_bg=render_cfg["white_bg"],
+        ndc_ray=render_cfg["ndc_ray"],
+        shade_top_k=render_cfg.get("shade_top_k"),
+        fused=render_cfg.get("fused", True),
+        sample_budget=render_cfg.get("sample_budget"),
+        tile=tile,
+    )
+    return np.asarray(rgb[:M]), np.asarray(depth[:M])
+
+
 def render_chunked(
     render_fn,
     params,

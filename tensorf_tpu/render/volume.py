@@ -24,7 +24,11 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..models.alpha_mask import AlphaGridMask, sample_alpha_gate
+from ..models.alpha_mask import (
+    AlphaGridMask,
+    sample_alpha_gate,
+    sample_alpha_gate_coarse,
+)
 from ..models.config import ModelConfig
 from ..models.shading import apply_shading
 from ..ops.freq_mask import FreeMasks
@@ -55,6 +59,15 @@ class RenderOutput(NamedTuple):
     sigma: jax.Array  # (B, N)
     z_vals: jax.Array  # (B, N)
     num_valid_samples: jax.Array  # scalar
+    # Fraction of rays whose budget-candidate count exceeded sample_budget
+    # (0.0 when no budget is active).  Nonzero means the fixed-budget
+    # compaction dropped candidates and the render may under-integrate —
+    # the train loop surfaces this as `budget_overflow_frac` (the exactness
+    # condition of the reference's boolean compaction, tensorBase.py:360-375).
+    budget_overflow_frac: jax.Array = jnp.float32(0.0)
+    # Mean per-ray alive (exact-gated, in-bbox) sample count — the measured
+    # occupancy statistic bench.py's phase model is calibrated against.
+    mean_alive_samples: jax.Array = jnp.float32(0.0)
 
 
 def render_rays(
@@ -111,67 +124,117 @@ def render_rays(
             axis=-1,
         )
 
-    # Stage-2 cull: alpha-mask occupancy as a gate (tensorBase.py:349-354).
+    # Fixed-budget sample compaction — the TPU analog of the reference's
+    # boolean compaction (tensorBase.py:360-375): keep the nearest
+    # `sample_budget` candidate samples per ray (depth order preserved).
+    # Exact whenever the budget covers every candidate (skipped samples
+    # have sigma == 0 and each kept sample retains its original lattice
+    # spacing, so transmittance is unchanged); `budget_overflow_frac`
+    # reports the rays where it doesn't.
+    #
+    # Candidate selection uses the strided *coarse* occupancy pre-gate
+    # (1 gathered row per COARSE_STRIDE samples instead of 1 per sample);
+    # the exact gate then runs on just the kept samples, so the final
+    # sigma gating matches the unbudgeted path (tensorBase.py:349-354).
+    n_eff = n_samples
+    overflow_frac = jnp.float32(0.0)
+    use_budget = sample_budget is not None and sample_budget < n_samples
+    if use_budget:
+        K = sample_budget
+        cand = ray_valid
+        if alpha_mask is not None:
+            cand = cand & sample_alpha_gate_coarse(alpha_mask, xyz)
+        overflow_frac = jnp.mean(
+            (jnp.sum(cand.astype(jnp.int32), axis=-1) > K).astype(jnp.float32)
+        )
+        order = jnp.arange(n_samples, dtype=jnp.int32)
+        score = cand.astype(jnp.int32) * (2 * n_samples - order)
+        _, sel = jax.lax.top_k(score, K)  # candidate-and-near first
+        sel = jnp.sort(sel, axis=-1)  # restore depth order
+        # one flat row gather instead of per-array take_along_axis —
+        # XLA's batched gather runs ~4x slower per row than a flat gather
+        # on TPU (scripts/bench_ops.py), and this gather is per-step work.
+        packed = jnp.concatenate(
+            [
+                xyz,
+                z_vals[..., None],
+                dists[..., None],
+                cand.astype(xyz.dtype)[..., None],
+            ],
+            axis=-1,
+        ).reshape(B * n_samples, 6)
+        flat = (
+            jnp.arange(B, dtype=jnp.int32)[:, None] * n_samples + sel
+        ).reshape(-1)
+        took = jnp.take(packed, flat, axis=0).reshape(B, K, 6)
+        xyz = took[..., :3]
+        z_vals = took[..., 3]
+        dists = took[..., 4]
+        ray_valid = took[..., 5] > 0.5
+        n_eff = K
+
+    # Stage-2 cull: alpha-mask occupancy as a gate (tensorBase.py:349-354)
+    # — on the kept samples only when a budget compacted them first.
     if alpha_mask is not None:
         ray_valid = ray_valid & (sample_alpha_gate(alpha_mask, xyz) > 0)
 
-    # Fixed-budget sample compaction — the TPU analog of the reference's
-    # boolean compaction: keep the nearest `sample_budget` alive samples per
-    # ray (depth order preserved).  Exact whenever the budget covers every
-    # alive sample (skipped samples have sigma == 0 and each kept sample
-    # retains its original lattice spacing, so transmittance is unchanged).
-    n_eff = n_samples
-    if sample_budget is not None and sample_budget < n_samples:
-        K = sample_budget
-        order = jnp.arange(n_samples, dtype=jnp.int32)
-        score = ray_valid.astype(jnp.int32) * (2 * n_samples - order)
-        _, sel = jax.lax.top_k(score, K)  # alive-and-near first
-        sel = jnp.sort(sel, axis=-1)  # restore depth order
-        xyz = jnp.take_along_axis(xyz, sel[..., None], axis=1)
-        z_vals = jnp.take_along_axis(z_vals, sel, axis=1)
-        dists = jnp.take_along_axis(dists, sel, axis=1)
-        ray_valid = jnp.take_along_axis(ray_valid, sel, axis=1)
-        n_eff = K
+    mean_alive = jnp.mean(jnp.sum(ray_valid.astype(jnp.float32), axis=-1))
 
     xyz_n = normalize_coord(xyz, aabb)  # (B, n_eff, 3)
 
     if fused:
-        # One packed gather pass for density + appearance (row-rate bound
-        # TPU gathers; see models/*.fused_features), then shade everything
-        # behind the weight gate — the MLU/MXU work is cheap relative to
-        # the gathers it replaces.
-        den_feat, app_feat = model.fused_features(
-            cfg, params, xyz_n.reshape(-1, 3), masks.den, masks.app
-        )
-        sigma = jnp.where(
-            ray_valid, feature2density(cfg, den_feat.reshape(B, n_eff)), 0.0
-        )
-        _, weight, _ = raw2alpha(sigma, dists * cfg.distance_scale)
-        app_gate = weight > cfg.ray_march_weight_thres
-        num_valid = jnp.sum(app_gate.astype(jnp.int32))
-
         if shade_top_k is not None and shade_top_k < n_eff:
-            # PE + MLP only on the top-K weights per ray; exact when K
-            # covers every above-threshold sample (tensorBase.py:370).
+            # Split fused path: density-only packed gather over the full
+            # lattice, then appearance gathered ONLY for the top-K weights
+            # per ray.  In the mask era weights concentrate on surfaces, so
+            # this cuts the appearance gather *and its backward scatter* —
+            # the step's most expensive rows — by n_eff/K.  Exact whenever
+            # K covers every above-threshold sample (tensorBase.py:370);
+            # shade_overflow is reported through num_valid_samples.
+            den_feat = model.density_feature_fused(
+                cfg, params, xyz_n.reshape(-1, 3), masks.den
+            )
+            sigma = jnp.where(
+                ray_valid,
+                feature2density(cfg, den_feat.reshape(B, n_eff)),
+                0.0,
+            )
+            _, weight, _ = raw2alpha(sigma, dists * cfg.distance_scale)
+            app_gate = weight > cfg.ray_march_weight_thres
+            num_valid = jnp.sum(app_gate.astype(jnp.int32))
+
             K = shade_top_k
             w_sel, idx = jax.lax.top_k(weight, K)
-            feat_sel = jnp.take_along_axis(
-                app_feat.reshape(B, n_eff, -1), idx[..., None], axis=1
-            )
             xyz_sel = jnp.take_along_axis(xyz_n, idx[..., None], axis=1)
             gate_sel = w_sel > cfg.ray_march_weight_thres
+            app_feat_sel = model.app_feature_fused(
+                cfg, params, xyz_sel.reshape(-1, 3), masks.app
+            )
             view_sel = jnp.broadcast_to(viewdirs[:, None, :], (B, K, 3))
             rgb_s = apply_shading(
                 cfg,
                 params["render"],
                 xyz_sel.reshape(-1, 3),
                 view_sel.reshape(-1, 3),
-                feat_sel.reshape(B * K, -1),
+                app_feat_sel.reshape(B * K, -1),
                 masks,
             ).reshape(B, K, 3)
             rgb_s = jnp.where(gate_sel[..., None], rgb_s, 0.0)
             rgb_map = jnp.sum(w_sel[..., None] * rgb_s, axis=-2)
         else:
+            # One packed gather pass for density + appearance, shading
+            # everything behind the weight gate.
+            den_feat, app_feat = model.fused_features(
+                cfg, params, xyz_n.reshape(-1, 3), masks.den, masks.app
+            )
+            sigma = jnp.where(
+                ray_valid,
+                feature2density(cfg, den_feat.reshape(B, n_eff)),
+                0.0,
+            )
+            _, weight, _ = raw2alpha(sigma, dists * cfg.distance_scale)
+            app_gate = weight > cfg.ray_march_weight_thres
+            num_valid = jnp.sum(app_gate.astype(jnp.int32))
             view_full = jnp.broadcast_to(viewdirs[:, None, :], (B, n_eff, 3))
             rgb_s = apply_shading(
                 cfg,
@@ -186,6 +249,7 @@ def render_rays(
         return _composite(
             cfg, rgb_map, weight, sigma, z_vals, rays, k_bg, num_valid,
             is_train=is_train, white_bg=white_bg,
+            budget_overflow_frac=overflow_frac, mean_alive_samples=mean_alive,
         )
 
     n_samples = n_eff
@@ -239,12 +303,15 @@ def render_rays(
     return _composite(
         cfg, rgb_map, weight, sigma, z_vals, rays, k_bg, num_valid,
         is_train=is_train, white_bg=white_bg,
+        budget_overflow_frac=overflow_frac, mean_alive_samples=mean_alive,
     )
 
 
 def _composite(
     cfg, rgb_map, weight, sigma, z_vals, rays, k_bg, num_valid, *,
     is_train: bool, white_bg: bool,
+    budget_overflow_frac=jnp.float32(0.0),
+    mean_alive_samples=jnp.float32(0.0),
 ) -> RenderOutput:
     acc = jnp.sum(weight, axis=-1)
 
@@ -270,4 +337,6 @@ def _composite(
         sigma=sigma,
         z_vals=z_vals,
         num_valid_samples=num_valid,
+        budget_overflow_frac=budget_overflow_frac,
+        mean_alive_samples=mean_alive_samples,
     )

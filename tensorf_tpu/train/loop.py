@@ -247,14 +247,24 @@ def reconstruction(cfg: TrainConfig) -> str:
             fused=bool(cfg.fused_gathers),
             # the per-ray budget only becomes exact once the alpha mask
             # culls most samples; before that every in-box sample is alive
-            # and a budget would truncate rays mid-scene
+            # and a budget would truncate rays mid-scene — unless the user
+            # opts into a (monitored) mask-free `prefilter_budget` sized to
+            # cover typical in-bbox chords (budget_overflow_frac reports
+            # any truncation either way)
             sample_budget=(
                 cfg.sample_budget
                 if (
                     state.alpha_mask is not None
                     and 0 < cfg.sample_budget < state.n_samples
                 )
-                else None
+                else (
+                    cfg.prefilter_budget
+                    if (
+                        state.alpha_mask is None
+                        and 0 < cfg.prefilter_budget < state.n_samples
+                    )
+                    else None
+                )
             ),
         )
 
@@ -337,6 +347,19 @@ def reconstruction(cfg: TrainConfig) -> str:
                       "reg_occ"):
                 if k in m:
                     writer.add_scalar(f"train/{k}", float(m[k]), iteration)
+            writer.add_scalar(
+                "train/mean_alive_samples",
+                float(m.get("mean_alive_samples", 0.0)), iteration,
+            )
+            overflow = float(m.get("budget_overflow_frac", 0.0))
+            writer.add_scalar("train/budget_overflow_frac", overflow, iteration)
+            if overflow > 0:
+                print(
+                    f"[budget] overflow on {overflow:.1%} of rays at "
+                    f"iteration {iteration} — sample_budget drops alive "
+                    "samples; raise the budget if this persists",
+                    flush=True,
+                )
             elapsed = time.time() - run_tic
             print(
                 f"Iteration {iteration:05d}: "
@@ -350,13 +373,26 @@ def reconstruction(cfg: TrainConfig) -> str:
             psnrs_window = psnrs_window[-50:]
 
         # ---- periodic eval + progress figure (train.py:411-445) ----
-        if cfg.train_vis_every > 0 and iteration % cfg.train_vis_every == 0 and iteration > 0:
+        # test-PSNR eval (vis_every) and progress-figure dump
+        # (train_vis_every) are independent knobs here; the reference ties
+        # both to one condition (train.py:411), which silently skips test
+        # PSNR when the two settings diverge.
+        do_test_eval = (
+            cfg.vis_every > 0 and iteration % cfg.vis_every == 0 and iteration > 0
+        )
+        do_train_vis = (
+            cfg.train_vis_every > 0
+            and iteration % cfg.train_vis_every == 0
+            and iteration > 0
+        )
+        if do_test_eval or do_train_vis:
             handle = make_handle()
-            if cfg.vis_every > 0 and iteration % cfg.vis_every == 0:
+            if do_test_eval:
                 psnrs_test = psnrs_calculate(
                     handle, test_dataset, chunk=cfg.batch_size
                 ) or [0.0]
                 writer.add_scalar("test/psnr", np.mean(psnrs_test), iteration)
+        if do_train_vis:
             history["iteration"].append(iteration)
             history["train_psnr"].append(
                 round(float(np.mean(psnrs_window or [0])), 2)
@@ -592,6 +628,14 @@ def render_test(cfg: TrainConfig):
         white_bg=test_dataset.white_bg,
         ndc_ray=bool(cfg.ndc_ray),
         shade_top_k=cfg.shade_top_k if cfg.shade_top_k > 0 else None,
+        # same fast path as the in-training renderer: packed fused gathers
+        # and the (mask-gated) per-ray sample budget
+        fused=bool(cfg.fused_gathers),
+        sample_budget=(
+            cfg.sample_budget
+            if (alpha_mask is not None and cfg.sample_budget > 0)
+            else None
+        ),
     )
     logfolder = os.path.dirname(ckpt)
     if cfg.render_train:

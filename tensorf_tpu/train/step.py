@@ -116,6 +116,10 @@ def make_train_step(model, cfg: ModelConfig, statics: TrainStatics, optimizer):
             metrics["reg_occ"] = reg
 
         metrics["num_valid_samples"] = out.num_valid_samples
+        # Budget self-verification: nonzero means the fixed sample budget
+        # dropped candidate samples on some rays this step (VERDICT r1 #3).
+        metrics["budget_overflow_frac"] = out.budget_overflow_frac
+        metrics["mean_alive_samples"] = out.mean_alive_samples
         return total, metrics
 
     @partial(jax.jit, donate_argnums=(0, 1))

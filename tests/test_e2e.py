@@ -119,7 +119,13 @@ def test_full_reconstruction_pipeline(scene, tmp_path):
     assert os.path.isdir(f"{logdir}/imgs_test_all/prediction")
     mean_txt = f"{logdir}/imgs_test_all/mean.txt"
     assert os.path.exists(mean_txt)
-    psnr = float(np.loadtxt(mean_txt).reshape(-1)[0])
+    # reference 4-line format (renderer.py:218-222): psnr, ssim,
+    # lpips-alex, lpips-vgg — LPIPS lines are NaN without vendored weights
+    # rather than silently omitted.
+    mean_vals = np.loadtxt(mean_txt).reshape(-1)
+    assert mean_vals.shape[0] == 4, mean_vals
+    assert np.isfinite(mean_vals[:2]).all()
+    psnr = float(mean_vals[0])
     # all-white prediction scores ~11.5 dB on this scene; the learned model
     # reaches ~26 dB in 300 tiny steps — require a wide margin over white
     assert psnr > 18.0, psnr

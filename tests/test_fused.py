@@ -172,3 +172,68 @@ def test_fused_render_gradients(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
         )
+
+
+def test_sample_budget_overflow_is_reported_and_error_bounded(rng):
+    """Over-budget regime: budget_overflow_frac must be nonzero and the
+    render must degrade gracefully (nearest samples kept; only the far
+    tail is dropped, so rgb error stays bounded by the dropped weight)."""
+    model = FIELD_MODELS[CFG_VM.model_name]
+    params = model.init(jax.random.PRNGKey(3), CFG_VM, GRID)
+    rays = _rays(rng, 32)
+    kw = dict(
+        aabb=AABB, step_size=0.06, n_samples=100,
+        is_train=False, white_bg=True, ndc_ray=False,
+    )
+    full = render_rays(model, CFG_VM, params, None, rays, None, FreeMasks(), **kw)
+    assert float(full.budget_overflow_frac) == 0.0  # no budget -> no overflow
+    # deliberately too-small budget: every ray has >16 in-box samples
+    capped = render_rays(model, CFG_VM, params, None, rays, None, FreeMasks(),
+                         sample_budget=16, **kw)
+    assert float(capped.budget_overflow_frac) > 0.5
+    # kept samples are the nearest 16 -> dropped mass is the transmittance
+    # remaining after them; rgb error is bounded by that dropped weight
+    # (plus the white-bg fill of the same mass).
+    kept_w = np.asarray(capped.weights).sum(-1)
+    full_w = np.asarray(full.weights).sum(-1)
+    dropped = np.clip(full_w - kept_w, 0.0, 1.0)
+    err = np.abs(np.asarray(capped.rgb) - np.asarray(full.rgb)).max(-1)
+    assert np.all(err <= dropped + 1e-4), (err.max(), dropped.max())
+
+
+def test_budget_with_alpha_mask_uses_conservative_coarse_gate(rng):
+    """With an alpha mask + budget, candidate selection runs on the strided
+    coarse gate; the result must still match the unbudgeted masked render
+    whenever the budget covers every candidate."""
+    from tensorf_tpu.models.alpha_mask import (
+        AlphaGridMask, sample_alpha_gate, sample_alpha_gate_coarse,
+        with_dilation,
+    )
+
+    model = FIELD_MODELS[CFG_VM.model_name]
+    params = model.init(jax.random.PRNGKey(5), CFG_VM, GRID)
+    rays = _rays(rng, 32)
+    vol = (rng.uniform(size=(16, 16, 16)) < 0.2).astype(np.float32)
+    mask = with_dilation(AlphaGridMask(aabb=AABB, volume=jnp.asarray(vol)))
+
+    # conservativeness: coarse gate >= exact gate at every lattice sample
+    from tensorf_tpu.ops.rays import sample_along_rays
+    xyz, _, valid = sample_along_rays(
+        rays[:, :3], rays[:, 3:6], AABB, 2.0, 6.0, 0.06, 100, None
+    )
+    exact = np.asarray(sample_alpha_gate(mask, xyz)) > 0
+    coarse = np.asarray(sample_alpha_gate_coarse(mask, xyz))
+    inb = np.asarray(valid)
+    assert not np.any(exact & inb & ~coarse), "coarse gate culled an exact-alive sample"
+
+    kw = dict(
+        aabb=AABB, step_size=0.06, n_samples=100,
+        is_train=False, white_bg=True, ndc_ray=False,
+    )
+    full = render_rays(model, CFG_VM, params, mask, rays, None, FreeMasks(), **kw)
+    capped = render_rays(model, CFG_VM, params, mask, rays, None, FreeMasks(),
+                         sample_budget=90, **kw)
+    if float(capped.budget_overflow_frac) == 0.0:
+        np.testing.assert_allclose(
+            np.asarray(full.rgb), np.asarray(capped.rgb), rtol=1e-4, atol=1e-5
+        )

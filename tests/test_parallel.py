@@ -120,3 +120,85 @@ def test_graft_entry_contract():
     assert depth.shape == (1024,)
 
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_full_schedule_multidevice_matches_single(tmp_path):
+    """The riskiest multi-device path: reconstruction() through shrink +
+    upsample events (param shapes change mid-run -> re-replication +
+    re-trace, train/loop.py) on the 8-device mesh, vs the identical run on
+    one device.  Final test PSNR must be reasonable and equivalent
+    (VERDICT r1 #5)."""
+    from functools import partial
+
+    from tensorf_tpu.config.schema import TrainConfig
+    from tensorf_tpu.data import dataset_dict
+    from tensorf_tpu.data.synthetic import make_synthetic_blender_scene
+    from tensorf_tpu.eval.evaluation import psnrs_calculate
+    from tensorf_tpu.train.loop import reconstruction
+    from tensorf_tpu.utils.ckpt import load_checkpoint
+    from tensorf_tpu.models import FIELD_MODELS
+    from tensorf_tpu.models.config import GridGeometry
+    from tensorf_tpu.eval.evaluation import RendererHandle
+
+    scene = str(tmp_path / "scene")
+    make_synthetic_blender_scene(scene, n_train=8, n_test=2, wh=(32, 32))
+
+    def run(n_devices, tag):
+        cfg = TrainConfig(
+            expname=f"dp{tag}",
+            basedir=str(tmp_path / f"log{tag}"),
+            datadir=scene,
+            dataset_name="blender",
+            model_name="TensorVMSplit",
+            shadingMode="MLP_Fea",
+            n_iters=120,
+            batch_size=512,
+            N_voxel_init=20**3,
+            N_voxel_final=32**3,
+            upsamp_list=[60],
+            update_AlphaMask_list=[80],
+            n_lamb_sigma=[4, 4, 4],
+            n_lamb_sh=[8, 8, 8],
+            data_dim_color=9,
+            featureC=32,
+            pos_pe=2,
+            view_pe=2,
+            fea_pe=2,
+            lr_init=0.05,
+            lr_basis=2e-3,
+            density_shift=-3.0,
+            L1_weight_inital=8e-5,
+            L1_weight_rest=4e-5,
+            vis_every=0,
+            train_vis_every=0,
+            render_test=0,
+            progress_refresh_rate=60,
+            n_devices=n_devices,
+        )
+        orig = dataset_dict["blender"]
+        dataset_dict["blender"] = partial(orig, wh=(32, 32))
+        try:
+            ckpt = reconstruction(cfg)
+        finally:
+            dataset_dict["blender"] = orig
+        model_cfg, params, aabb, grid_size, mask, _ = load_checkpoint(ckpt)
+        geometry = GridGeometry.create(aabb, grid_size, model_cfg.step_ratio)
+        ds = orig(scene, split="test", is_stack=True, wh=(32, 32))
+        handle = RendererHandle(
+            model=FIELD_MODELS[model_cfg.model_name],
+            cfg=model_cfg, params=params, alpha_mask=mask,
+            aabb=jnp.asarray(geometry.aabb_np),
+            step_size=geometry.step_size, n_samples=geometry.n_samples,
+            white_bg=True, ndc_ray=False,
+        )
+        # the shrink event must have changed the grid from the init size
+        assert tuple(grid_size) != (20, 20, 20), grid_size
+        return float(np.mean(psnrs_calculate(handle, ds, chunk=512)))
+
+    psnr_1 = run(1, "a")
+    psnr_8 = run(8, "b")
+    # both runs trained through shrink + upsample; the sharded one must
+    # match the single-device result (identical math modulo psum ordering)
+    assert psnr_8 > 14.0, psnr_8
+    assert abs(psnr_1 - psnr_8) < 0.75, (psnr_1, psnr_8)

@@ -8,7 +8,17 @@ Usage:
   python train.py --config ... --export_mesh 1 --ckpt x.npz
 """
 
+import os
 import sys
+
+# persistent XLA compile cache: each schedule segment re-traces the train
+# step; cached segment recompiles take seconds instead of minutes on
+# remote-compiled backends.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+from tensorf_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
 
 from tensorf_tpu.config.frontends import parse_cli
 from tensorf_tpu.train.loop import export_mesh, reconstruction, render_test
