@@ -53,6 +53,27 @@ def pad_to_multiple(arr: np.ndarray, multiple: int):
     )
 
 
+def shard_ray_store_per_host(allrays, allrgbs, global_batch: int):
+    """Disjoint per-host shard of the (filtered) training ray store.
+
+    Multi-host data layout: host p keeps rays [p::n_proc] and samples
+    global_batch // n_proc rays per step; the global batch is the union of
+    the per-host batches (the reference has no multi-host story at all —
+    SURVEY.md §2.10).  Single-process runs return the inputs unchanged.
+
+    Returns (rays, rgbs, local_batch).
+    """
+    n_proc = jax.process_count()
+    if n_proc <= 1:
+        return allrays, allrgbs, global_batch
+    if global_batch % n_proc:
+        raise ValueError(
+            f"batch_size {global_batch} must divide by process count {n_proc}"
+        )
+    p = jax.process_index()
+    return allrays[p::n_proc], allrgbs[p::n_proc], global_batch // n_proc
+
+
 def batch_sharding(mesh: Optional[Mesh], axis: str = "data"):
     if mesh is None:
         return None

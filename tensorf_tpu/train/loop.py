@@ -49,7 +49,12 @@ from ..models.config import (
 )
 from ..models.tensorf import FIELD_MODELS
 from ..ops.freq_mask import free_masks
-from ..parallel.mesh import make_mesh, replicate, shard_rays
+from ..parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_ray_store_per_host,
+    shard_rays,
+)
 from ..render.culling import (
     compute_alpha_grid,
     filter_rays_alpha,
@@ -214,7 +219,16 @@ def reconstruction(cfg: TrainConfig) -> str:
     allrgbs = np.asarray(train_dataset.all_rgbs, np.float32)
     if not ndc_ray:
         allrays, allrgbs = filter_rays_bbox(allrays, allrgbs, aabb)
-    sampler = SimpleSampler(allrays.shape[0], cfg.batch_size, cfg.seed)
+    # multi-host: each process keeps a disjoint strided shard of the
+    # filtered ray store and samples its share of the global batch, so no
+    # host loads or trains on another host's rays (the global batch is the
+    # union of per-host batches; per-host sampler seeds are decorrelated).
+    allrays, allrgbs, local_batch = shard_ray_store_per_host(
+        allrays, allrgbs, cfg.batch_size
+    )
+    sampler = SimpleSampler(
+        allrays.shape[0], local_batch, cfg.seed + jax.process_index()
+    )
 
     l1_weight = cfg.L1_weight_inital
     ratio = cfg.mask_ratio_list[0] if cfg.mask_ratio_list else 1.0
@@ -504,7 +518,7 @@ def reconstruction(cfg: TrainConfig) -> str:
                     near_far,
                 )
                 sampler = SimpleSampler(
-                    allrays.shape[0], cfg.batch_size, cfg.seed + iteration
+                    allrays.shape[0], local_batch, cfg.seed + iteration
                 )
             # L1 weight switches after the first alpha-mask event (upstream
             # TensoRF behavior; flags L1_weight_rest at opt.py:50).

@@ -202,3 +202,31 @@ def test_full_schedule_multidevice_matches_single(tmp_path):
     # match the single-device result (identical math modulo psum ordering)
     assert psnr_8 > 14.0, psnr_8
     assert abs(psnr_1 - psnr_8) < 0.75, (psnr_1, psnr_8)
+
+
+def test_shard_ray_store_per_host(monkeypatch):
+    from tensorf_tpu.parallel import mesh as pmesh
+
+    rays = np.arange(100 * 6, dtype=np.float32).reshape(100, 6)
+    rgbs = np.arange(100 * 3, dtype=np.float32).reshape(100, 3)
+
+    # single process: identity
+    r, g, b = pmesh.shard_ray_store_per_host(rays, rgbs, 64)
+    assert r is rays and g is rgbs and b == 64
+
+    # simulated 4-host run: disjoint strided shards covering everything
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    shards = []
+    for p in range(4):
+        monkeypatch.setattr(jax, "process_index", lambda p=p: p)
+        r, g, b = pmesh.shard_ray_store_per_host(rays, rgbs, 64)
+        assert b == 16
+        np.testing.assert_array_equal(r, rays[p::4])
+        shards.append(r)
+    total = np.concatenate(shards)
+    assert total.shape[0] == 100
+    assert len(np.unique(total[:, 0])) == 100  # disjoint cover
+
+    # global batch must divide by host count
+    with pytest.raises(ValueError):
+        pmesh.shard_ray_store_per_host(rays, rgbs, 63)
