@@ -124,6 +124,9 @@ def _make_step(model_name, grid, mask_on, batch, params_bench):
         sample_budget=(
             int(params_bench["sample_budget"]) if mask_on else None
         ),
+        # mask-era split path: appearance gathered only for the top-K
+        # shading weights (configs/lego_vm.txt shipping configuration)
+        shade_top_k=32 if mask_on else None,
     )
     step_fn = make_train_step(model, cfg, statics, optimizer)
 

@@ -419,7 +419,9 @@ class TensorCP(FieldModel):
             lpacked = jnp.concatenate(
                 [params["density_line"][i], params["app_line"][i]], axis=-1
             )
-            lv = _sample_line_packed(lpacked, xyz[..., VEC_MODE[i]])
+            lv = _sample_line_packed(
+                lpacked, xyz[..., VEC_MODE[i]], _line_a_dtype(cfg)
+            )
             dl, al = lv[..., :rd], lv[..., rd:]
             dprod = dl if dprod is None else dprod * dl
             aprod = al if aprod is None else aprod * al
