@@ -180,3 +180,73 @@ def test_render_grad_through_everything(setup, rng):
     assert float(jnp.abs(grads["app_plane"][0]).sum()) > 0
     assert float(jnp.abs(grads["render"]["l1"]["w"]).sum()) > 0
     assert float(jnp.abs(grads["basis"]).sum()) > 0
+
+
+def test_render_frame_single_dispatch_matches_chunked(rng):
+    """Whole-frame lax.map renderer == host-chunked renderer."""
+    from tensorf_tpu.models import FIELD_MODELS, ModelConfig
+    from tensorf_tpu.render.chunked import (
+        make_render_fn,
+        render_chunked,
+        render_frame,
+    )
+
+    cfg = ModelConfig(
+        model_name="TensorVMSplit", density_n_comp=(4, 4, 4),
+        app_n_comp=(6, 6, 6), app_dim=9, shading_mode="MLP_Fea",
+        pos_pe=2, view_pe=2, fea_pe=2, feature_c=32, density_shift=-3.0,
+    )
+    model = FIELD_MODELS[cfg.model_name]
+    params = model.init(jax.random.PRNGKey(0), cfg, (10, 10, 10))
+    aabb = jnp.asarray([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]])
+    o = rng.normal(size=(70, 3))
+    o = 4.0 * o / np.linalg.norm(o, axis=-1, keepdims=True)
+    rays = np.concatenate(
+        [o, -o / np.linalg.norm(o, axis=-1, keepdims=True)], -1
+    ).astype(np.float32)
+
+    static = dict(
+        model=model, cfg=cfg, step_size=0.06, n_samples=64,
+        white_bg=True, ndc_ray=False, shade_top_k=None, fused=True,
+        sample_budget=None,
+    )
+    fn = make_render_fn(
+        model, cfg, step_size=0.06, n_samples=64, white_bg=True,
+        ndc_ray=False,
+    )
+    rgb_c, depth_c, _ = render_chunked(fn, params, None, rays, aabb, chunk=32)
+    rgb_f, depth_f = render_frame(static, params, None, rays, aabb, tile=32)
+    np.testing.assert_allclose(rgb_f, rgb_c, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(depth_f, depth_c, rtol=1e-5, atol=1e-5)
+
+
+def test_grid_dtype_bf16_renders_close_to_fp32(rng):
+    """grid_dtype=bfloat16 (reduced-precision factor sampling) must stay
+    within quantization distance of the fp32 render."""
+    from tensorf_tpu.models import FIELD_MODELS, ModelConfig
+    from tensorf_tpu.ops.freq_mask import FreeMasks
+    from tensorf_tpu.render import render_rays
+
+    base = ModelConfig(
+        model_name="TensorVMSplit", density_n_comp=(4, 4, 4),
+        app_n_comp=(6, 6, 6), app_dim=9, shading_mode="MLP_Fea",
+        pos_pe=2, view_pe=2, fea_pe=2, feature_c=32, density_shift=-3.0,
+    )
+    model = FIELD_MODELS[base.model_name]
+    params = model.init(jax.random.PRNGKey(1), base, (10, 12, 14))
+    o = rng.normal(size=(32, 3))
+    o = 4.0 * o / np.linalg.norm(o, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.concatenate(
+        [o, -o / np.linalg.norm(o, axis=-1, keepdims=True)], -1
+    ).astype(np.float32))
+    kw = dict(
+        aabb=jnp.asarray([[-1.5] * 3, [1.5] * 3]), step_size=0.06,
+        n_samples=64, is_train=False, white_bg=True, ndc_ray=False,
+    )
+    a = render_rays(model, base, params, None, rays, None, FreeMasks(), **kw)
+    b = render_rays(
+        model, base.replace(grid_dtype="bfloat16"), params, None, rays,
+        None, FreeMasks(), **kw
+    )
+    err = float(jnp.abs(a.rgb - b.rgb).max())
+    assert err < 0.03, err  # bf16 factor quantization, not divergence
