@@ -34,11 +34,14 @@ class AlphaGridMask(NamedTuple):
         return self.volume.shape[::-1]
 
 
-# Ray samples tested per coarse-gate lookup.  With step_ratio 0.5 the
-# stride-window spans <= (COARSE_STRIDE-1) * 0.5 voxels along the ray, so a
-# 3-voxel dilation radius (on top of the 1-voxel exact-gate dilation) keeps
-# the coarse gate a conservative superset of the exact gate for any sample
-# in the window (anisotropy margin included).
+# Ray samples tested per coarse-gate lookup.  The probe sits at the
+# MIDDLE sample of each stride window, so with step_ratio 0.5 any window
+# sample is within (COARSE_STRIDE/2)*0.5 = 1 voxel of the probe (grids
+# are exactly isotropic: n_to_reso uses cubic voxels); adding +-0.5
+# nearest-rounding at both points bounds the index offset by 2, so a
+# 2-voxel extra dilation (ks=5) keeps the coarse gate a conservative
+# superset of the exact gate — and candidate shells 2 voxels thinner than
+# a ks=7 dilation, which is what sizes the sample budget.
 COARSE_STRIDE = 4
 
 
@@ -53,7 +56,7 @@ def with_dilation(mask: AlphaGridMask) -> AlphaGridMask:
     coarse = (
         mask.coarse
         if mask.coarse is not None
-        else max_pool_3d_same(dilated, ks=7)
+        else max_pool_3d_same(dilated, ks=5)
     )
     return mask._replace(dilated=dilated, coarse=coarse)
 
@@ -109,9 +112,14 @@ def sample_alpha_gate_coarse(mask: AlphaGridMask, xyz: jax.Array) -> jax.Array:
             mask.dilated
             if mask.dilated is not None
             else max_pool_3d_same(mask.volume, ks=3),
-            ks=7,
+            ks=5,
         )
-    probe = xyz[:, :: COARSE_STRIDE, :]  # (B, ceil(N/CS), 3)
+    # probe the MIDDLE sample of each stride window (see COARSE_STRIDE)
+    n_probe = -(-N // COARSE_STRIDE)
+    probe_idx = np.minimum(
+        np.arange(n_probe) * COARSE_STRIDE + COARSE_STRIDE // 2, N - 1
+    )
+    probe = xyz[:, probe_idx, :]  # (B, n_probe, 3)
     D, H, W = vol.shape
     inv_size = 2.0 / (mask.aabb[1] - mask.aabb[0])
     norm = jnp.clip((probe - mask.aabb[0]) * inv_size - 1.0, -1.0, 1.0)

@@ -136,46 +136,71 @@ def render_rays(
     # (1 gathered row per COARSE_STRIDE samples instead of 1 per sample);
     # the exact gate then runs on just the kept samples, so the final
     # sigma gating matches the unbudgeted path (tensorBase.py:349-354).
-    n_eff = n_samples
-    overflow_frac = jnp.float32(0.0)
-    use_budget = sample_budget is not None and sample_budget < n_samples
-    if use_budget:
-        K = sample_budget
-        cand = ray_valid
-        if alpha_mask is not None:
-            cand = cand & sample_alpha_gate_coarse(alpha_mask, xyz)
-        overflow_frac = jnp.mean(
-            (jnp.sum(cand.astype(jnp.int32), axis=-1) > K).astype(jnp.float32)
-        )
-        order = jnp.arange(n_samples, dtype=jnp.int32)
-        score = cand.astype(jnp.int32) * (2 * n_samples - order)
-        _, sel = jax.lax.top_k(score, K)  # candidate-and-near first
+    def _compact(xyz, z_vals, dists, keep, K, n_from):
+        """Keep the nearest K `keep` samples per ray (depth order), via one
+        flat row gather (XLA's batched take_along_axis gather runs ~4x
+        slower per row on TPU — scripts/bench_ops.py)."""
+        order = jnp.arange(n_from, dtype=jnp.int32)
+        score = keep.astype(jnp.int32) * (2 * n_from - order)
+        _, sel = jax.lax.top_k(score, K)  # keep-and-near first
         sel = jnp.sort(sel, axis=-1)  # restore depth order
-        # one flat row gather instead of per-array take_along_axis —
-        # XLA's batched gather runs ~4x slower per row than a flat gather
-        # on TPU (scripts/bench_ops.py), and this gather is per-step work.
         packed = jnp.concatenate(
             [
                 xyz,
                 z_vals[..., None],
                 dists[..., None],
-                cand.astype(xyz.dtype)[..., None],
+                keep.astype(xyz.dtype)[..., None],
             ],
             axis=-1,
-        ).reshape(B * n_samples, 6)
+        ).reshape(B * n_from, 6)
         flat = (
-            jnp.arange(B, dtype=jnp.int32)[:, None] * n_samples + sel
+            jnp.arange(B, dtype=jnp.int32)[:, None] * n_from + sel
         ).reshape(-1)
         took = jnp.take(packed, flat, axis=0).reshape(B, K, 6)
-        xyz = took[..., :3]
-        z_vals = took[..., 3]
-        dists = took[..., 4]
-        ray_valid = took[..., 5] > 0.5
+        return took[..., :3], took[..., 3], took[..., 4], took[..., 5] > 0.5
+
+    n_eff = n_samples
+    overflow_frac = jnp.float32(0.0)
+    use_budget = sample_budget is not None and sample_budget < n_samples
+    exact_gated = False
+    if use_budget:
+        K = sample_budget
+        if alpha_mask is not None:
+            # Two-stage compaction: the coarse candidate shells (dilated
+            # occupancy) are ~2x thicker than the exact-alive set, so
+            # first coarse-compact to K1 cheaply, exact-gate just those K1
+            # rows, then compact to the K exact-alive budget — all the
+            # expensive per-sample work downstream runs at K, not at the
+            # candidate count.  Exact whenever neither stage overflows
+            # (reported combined in budget_overflow_frac).
+            K1 = min(n_samples, max(K + 32, int(-(-(K * 5 // 2) // 32) * 32)))
+            cand = ray_valid & sample_alpha_gate_coarse(alpha_mask, xyz)
+            over1 = jnp.sum(cand.astype(jnp.int32), axis=-1) > K1
+            xyz, z_vals, dists, cand1 = _compact(
+                xyz, z_vals, dists, cand, K1, n_samples
+            )
+            alive = cand1 & (sample_alpha_gate(alpha_mask, xyz) > 0)
+            over2 = jnp.sum(alive.astype(jnp.int32), axis=-1) > K
+            overflow_frac = jnp.mean((over1 | over2).astype(jnp.float32))
+            xyz, z_vals, dists, ray_valid = _compact(
+                xyz, z_vals, dists, alive, K, K1
+            )
+            exact_gated = True
+        else:
+            cand = ray_valid
+            overflow_frac = jnp.mean(
+                (jnp.sum(cand.astype(jnp.int32), axis=-1) > K).astype(
+                    jnp.float32
+                )
+            )
+            xyz, z_vals, dists, ray_valid = _compact(
+                xyz, z_vals, dists, cand, K, n_samples
+            )
         n_eff = K
 
     # Stage-2 cull: alpha-mask occupancy as a gate (tensorBase.py:349-354)
-    # — on the kept samples only when a budget compacted them first.
-    if alpha_mask is not None:
+    # — already applied exactly inside the two-stage compaction above.
+    if alpha_mask is not None and not exact_gated:
         ray_valid = ray_valid & (sample_alpha_gate(alpha_mask, xyz) > 0)
 
     mean_alive = jnp.mean(jnp.sum(ray_valid.astype(jnp.float32), axis=-1))
