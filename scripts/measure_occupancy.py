@@ -103,9 +103,12 @@ def main():
             "p99": pct(cand, 99), "p999": pct(cand, 99.9),
             "max": int(cand.max()),
         },
-        # budget covering 99.9% of rays' coarse candidates, padded to a
-        # lane multiple — what bench.py and the presets should use.
-        "sample_budget": int(np.ceil(pct(cand, 99.9) / 32) * 32),
+        # budget covering 99.9% of rays' exact-alive samples, padded to a
+        # lane multiple — the two-stage compaction budgets exact-alive
+        # samples (render/volume.py), so this is what bench.py and the
+        # presets should use; the coarse candidate count only sizes the
+        # internal K1 stage.
+        "sample_budget": int(np.ceil(pct(alive, 99.9) / 32) * 32),
         "source_ckpt": os.path.abspath(args.ckpt),
     }
     hist, edges = np.histogram(cand, bins=16)
