@@ -173,7 +173,11 @@ def render_rays(
             # expensive per-sample work downstream runs at K, not at the
             # candidate count.  Exact whenever neither stage overflows
             # (reported combined in budget_overflow_frac).
-            K1 = min(n_samples, max(K + 32, int(-(-(K * 5 // 2) // 32) * 32)))
+            # candidates exceed exact-alive by roughly the dilated shell
+            # thickness per surface crossing — an additive margin, not a
+            # multiplicative one (a 2.5x K1 becomes needlessly large once
+            # the budget auto-raises)
+            K1 = min(n_samples, K + 224)
             cand = ray_valid & sample_alpha_gate_coarse(alpha_mask, xyz)
             over1 = jnp.sum(cand.astype(jnp.int32), axis=-1) > K1
             xyz, z_vals, dists, cand1 = _compact(
