@@ -20,6 +20,7 @@ from ..models.alpha_mask import (
     AlphaGridMask,
     max_pool_3d_same,
     sample_alpha_gate,
+    sample_alpha_gate_coarse,
     with_dilation,
 )
 from ..ops.rays import aabb_entry_exit, sample_along_rays
@@ -209,3 +210,70 @@ def filter_rays_alpha(
         print("========> alpha ray filtering kept nothing; skipping filter")
         return rays, np.asarray(all_rgbs)
     return rays[mask], np.asarray(all_rgbs)[mask]
+
+
+@partial(jax.jit, static_argnames=("n_samples", "step_size", "near", "far"))
+def _candidate_counts(rays, alpha_mask, aabb, *, n_samples, step_size, near, far):
+    xyz, _, valid = sample_along_rays(
+        rays[:, :3], rays[:, 3:6], aabb, near, far, step_size, n_samples,
+        None,
+    )
+    cand = valid & sample_alpha_gate_coarse(alpha_mask, xyz)
+    return jnp.sum(cand.astype(jnp.int32), axis=-1)
+
+
+def count_ray_candidates(
+    all_rays,
+    alpha_mask: AlphaGridMask,
+    aabb,
+    step_size: float,
+    near_far=(2.0, 6.0),
+    n_samples: int = 256,
+    chunk: int = 51200,
+) -> np.ndarray:
+    """Per-ray coarse candidate-sample counts over the ray store.
+
+    The building block of alive-count-stratified ray batching (the
+    measured 8.6x fixed-budget-vs-mean gap, BENCH_PARAMS.json): partition
+    the store by these counts so each stratum renders at its own sample
+    budget instead of every ray paying the p99.9 budget.  Run at
+    alpha-mask events (counts are stable between mask updates).
+    """
+    rays = np.asarray(all_rays, np.float32)
+    aabb_j = jnp.asarray(aabb, jnp.float32).reshape(2, 3)
+    out = []
+    for start in range(0, rays.shape[0], chunk):
+        part = rays[start : start + chunk]
+        n = part.shape[0]
+        if n < chunk:
+            part = np.concatenate(
+                [part, np.broadcast_to(part[-1:], (chunk - n, 6))], 0
+            )
+        out.append(
+            np.asarray(
+                _candidate_counts(
+                    jnp.asarray(part), alpha_mask, aabb_j,
+                    n_samples=n_samples, step_size=float(step_size),
+                    near=float(near_far[0]), far=float(near_far[1]),
+                )
+            )[:n]
+        )
+    return np.concatenate(out, axis=0)
+
+
+def stratify_rays(counts: np.ndarray, quantiles=(0.6, 0.95)):
+    """Partition ray indices into strata by candidate count.
+
+    Returns (list of index arrays low->high, list of per-stratum budget
+    hints = each stratum's max count padded to a 32-multiple).
+    """
+    edges = [int(np.quantile(counts, q)) for q in quantiles]
+    strata, budgets = [], []
+    lo = -1
+    for e in edges + [int(counts.max())]:
+        sel = np.nonzero((counts > lo) & (counts <= e))[0]
+        if sel.size:
+            strata.append(sel)
+            budgets.append(int(max(32, -(-int(counts[sel].max()) // 32) * 32)))
+        lo = e
+    return strata, budgets

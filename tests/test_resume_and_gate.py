@@ -104,3 +104,51 @@ def test_reconstruction_resume_from_checkpoint(tmp_path, rng):
         assert moved
     finally:
         dataset_dict["blender"] = orig
+
+
+def test_count_and_stratify_rays():
+    """Stratification building blocks: per-ray candidate counts cover the
+    exact-alive counts (conservative), and strata partition the store with
+    budgets covering each stratum's max."""
+    import jax
+    import jax.numpy as jnp
+
+    from tensorf_tpu.models.alpha_mask import AlphaGridMask, with_dilation
+    from tensorf_tpu.ops.rays import sample_along_rays
+    from tensorf_tpu.models.alpha_mask import sample_alpha_gate
+    from tensorf_tpu.render.culling import count_ray_candidates, stratify_rays
+
+    rng = np.random.default_rng(3)
+    G = 24
+    z, y, x = np.meshgrid(*[np.linspace(-1.5, 1.5, G)] * 3, indexing="ij")
+    vol = (np.sqrt(x * x + y * y + z * z) < 0.8).astype(np.float32)
+    aabb = np.asarray([[-1.5] * 3, [1.5] * 3], np.float32)
+    mask = with_dilation(
+        AlphaGridMask(aabb=jnp.asarray(aabb), volume=jnp.asarray(vol))
+    )
+
+    o = rng.normal(size=(512, 3))
+    o = 4.0 * o / np.linalg.norm(o, axis=-1, keepdims=True)
+    rays = np.concatenate(
+        [o, -o / np.linalg.norm(o, axis=-1, keepdims=True)], -1
+    ).astype(np.float32)
+
+    counts = count_ray_candidates(
+        rays, mask, aabb, step_size=0.06, n_samples=100, chunk=128
+    )
+    assert counts.shape == (512,)
+
+    # conservative: candidates >= exact alive per ray
+    xyz, _, valid = sample_along_rays(
+        jnp.asarray(rays[:, :3]), jnp.asarray(rays[:, 3:6]),
+        jnp.asarray(aabb), 2.0, 6.0, 0.06, 100, None,
+    )
+    alive = np.asarray(valid & (sample_alpha_gate(mask, xyz) > 0)).sum(-1)
+    assert np.all(counts >= alive)
+
+    strata, budgets = stratify_rays(counts, quantiles=(0.5, 0.9))
+    got = np.sort(np.concatenate(strata))
+    np.testing.assert_array_equal(got, np.arange(512))  # exact partition
+    for sel, b in zip(strata, budgets):
+        assert counts[sel].max() <= b
+        assert b % 32 == 0
