@@ -97,3 +97,21 @@ def test_grid_sample_2d_grad_matches_torch(rng):
     g_ref = t_plane.grad[0].permute(1, 2, 0).numpy()
 
     np.testing.assert_allclose(g_ours, g_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_banked_scatter_add_kernel_interpret_mode():
+    """ops/pallas/scatter_add2 (measured experiment; not in the hot path)
+    must stay correct: out[idx[m]] += g[m] with banked accumulators."""
+    from tensorf_tpu.ops.pallas.scatter_add2 import scatter_add_banked
+
+    rng = np.random.default_rng(0)
+    M, R, C = 2048, 256, 128
+    idx = jnp.asarray(rng.integers(0, R, size=M).astype(np.int32))
+    g = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
+    want = np.zeros((R, C), np.float32)
+    np.add.at(want, np.asarray(idx), np.asarray(g))
+    for nb in (1, 2):
+        got = np.asarray(
+            scatter_add_banked(idx, g, R, chan_block=128, n_banks=nb)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
