@@ -13,14 +13,19 @@ resolutions of the reference's upsample schedule (N_voxel 128^3 -> 300^3
 geometric over [2000,3000,4000,5500,7000], config.yaml:38-44), not a
 single fixed grid:
 
-  phase A  iters     0- 2000  128^3 grid, no alpha mask, full lattice
+  phase A  iters     0- 2000  128^3 grid, no alpha mask, monitored
+                              prefilter candidate budget (measured p99.9
+                              of in-bbox counts) over the full lattice
   phase C  iters  2000-30000  300^3 grid (the final-grid cost is charged
                               to the whole mask era -> conservative),
-                              alpha mask, per-ray sample budget
+                              alpha mask, ALIVE-COUNT-STRATIFIED
+                              sub-batches at measured per-stratum
+                              candidate budgets (the production layout:
+                              device-resident store + ids-only feed)
 
-Mask occupancy and the sample budget come from BENCH_PARAMS.json when a
-measured full-schedule run has written one (scripts/run_full_schedule.py),
-else conservative defaults (15% occupancy, budget 160).
+All parameters (mask occupancy, strata sizes/quotas/budgets, prefilter
+budget) come from BENCH_PARAMS.json when a measured full-schedule run has
+written one (scripts/measure_occupancy.py), else conservative defaults.
 
 vs_baseline: the reference PyTorch implementation trains the VMSplit
 configuration at roughly 1.2e5 rays/sec on a desktop GPU (upstream TensoRF
@@ -28,10 +33,12 @@ reports ~17 min for 30k x 4096-ray iters on a 2080Ti-class card; the repo
 itself publishes no numbers — SURVEY.md §6).  vs_baseline = measured /
 1.2e5; BASELINE.json's north star asks for >5x per chip.
 
-Roofline fields (VERDICT r1 #8): plane_gather_rows_per_sec /
+Roofline fields (VERDICT r1 #8, r2 #3): plane_gather_rows_per_sec /
 plane_scatter_rows_per_sec are the *measured* per-op ceilings from this
-chip (scripts/bench_ops.py methodology) so step-time progress is
-attributable against the v5e gather/scatter walls.
+chip (scripts/bench_ops.py methodology); floor_ms_* is the minimum step
+time those ceilings allow for the exact gather/scatter row counts each
+phase must move (see _floor_ms for the term-by-term account), and
+vs_roofline = floor / measured per phase.
 
 Timing note: on the tunneled axon backend block_until_ready returns before
 execution completes; a scalar device_get is the only reliable barrier, and
@@ -45,7 +52,6 @@ import os
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import json
-import os
 import time
 
 import numpy as np
@@ -61,7 +67,18 @@ PHASES = (
     ("A", 2000, 128, False),
     ("C", 28000, 300, True),
 )
-DEFAULT_PARAMS = {"mask_occupancy": 0.15, "sample_budget": 160}
+DEFAULT_PARAMS = {
+    "mask_occupancy": 0.15,
+    "sample_budget": 160,
+    "train_strata": {
+        "quotas": [2048, 1224, 616, 208],
+        "budgets": [160, 288, 384, 480],
+        "batch": 4096,
+    },
+    "prefilter": {"prefilter_budget": 352},
+}
+SHADE_TOP_K = 32
+COARSE_STRIDE = 4
 
 
 def load_params():
@@ -72,6 +89,16 @@ def load_params():
             d = json.load(f)
         return {**DEFAULT_PARAMS, **d}
     return dict(DEFAULT_PARAMS)
+
+
+def _strata_for(params_bench, n_samples):
+    """(quota, budget) pairs for the mask-era stratified step; budgets are
+    capped at the lattice (None = unbudgeted stratum)."""
+    ts = params_bench.get("train_strata") or DEFAULT_PARAMS["train_strata"]
+    out = []
+    for q, b in zip(ts["quotas"], ts["budgets"]):
+        out.append((int(q), int(b) if int(b) < n_samples else None))
+    return out
 
 
 def _make_step(model_name, grid, mask_on, batch, params_bench):
@@ -109,6 +136,16 @@ def _make_step(model_name, grid, mask_on, batch, params_bench):
     params = model.init(jax.random.PRNGKey(0), cfg, gs)
     lr_factor = 0.1 ** (1 / TOTAL_ITERS)
     optimizer, opt_state = make_optimizer(params, 0.02, 1e-3, lr_factor)
+
+    if mask_on:
+        strata = _strata_for(params_bench, n_samples)
+        strata_budgets = tuple(b for _, b in strata)
+        quotas = [q for q, _ in strata]
+    else:
+        pf = params_bench.get("prefilter") or DEFAULT_PARAMS["prefilter"]
+        strata_budgets = None
+        quotas = [batch]
+
     statics = TrainStatics(
         n_samples=n_samples,
         step_size=step_size,
@@ -123,21 +160,35 @@ def _make_step(model_name, grid, mask_on, batch, params_bench):
         free_reg=True,
         free_decomp=True,
         freq_reg_ratio=0.8,
+        # production layout: device-resident ray store, ids-only feed
+        from_store=True,
+        strata_budgets=strata_budgets,
         sample_budget=(
-            int(params_bench["sample_budget"]) if mask_on else None
+            None if mask_on
+            else min(int(pf["prefilter_budget"]), n_samples - 1)
         ),
         # mask-era split path: appearance gathered only for the top-K
         # shading weights (configs/lego_vm.txt shipping configuration)
-        shade_top_k=32 if mask_on else None,
+        shade_top_k=SHADE_TOP_K if mask_on else None,
     )
     step_fn = make_train_step(model, cfg, statics, optimizer)
 
     rng = np.random.default_rng(0)
-    o = rng.normal(size=(batch, 3))
+    store_n = 262_144
+    o = rng.normal(size=(store_n, 3))
     o = 4.0 * o / np.linalg.norm(o, axis=-1, keepdims=True)
     d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
-    rays = jnp.asarray(np.concatenate([o, d], -1).astype(np.float32))
-    rgbs = jnp.asarray(rng.uniform(size=(batch, 3)).astype(np.float32))
+    store_rays = jnp.asarray(np.concatenate([o, d], -1).astype(np.float32))
+    store_rgbs = jnp.asarray(
+        rng.uniform(size=(store_n, 3)).astype(np.float32)
+    )
+    ids_np = [
+        rng.integers(0, store_n, size=(q,)).astype(np.int32) for q in quotas
+    ]
+    if mask_on:
+        ids = tuple(jnp.asarray(i) for i in ids_np)
+    else:
+        ids = jnp.asarray(ids_np[0])
     aabb = jnp.asarray([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]])
 
     mask = None
@@ -155,7 +206,7 @@ def _make_step(model_name, grid, mask_on, batch, params_bench):
     def run(i, params, opt_state):
         k = jax.random.fold_in(key, i)
         return step_fn(
-            params, opt_state, mask, aabb, rays, rgbs,
+            params, opt_state, mask, aabb, store_rays, store_rgbs, ids,
             jnp.asarray(i, jnp.int32), k,
         )
 
@@ -222,12 +273,42 @@ def _roofline(batch=4096):
     }
 
 
+def _floor_ms(roof, strata, n_lattice, *, shade_top_k, axes=3):
+    """Roofline floor for one train step (VERDICT r2 #3): the time the
+    measured gather/scatter ceilings allow for the rows the step MUST move,
+    ignoring every flop (MLP, matmuls, top-k, Adam) and all fusion slack.
+
+    Per stratum of quota q at budget K (None -> full lattice):
+      gather rows:  q*lattice/4    coarse-gate probes (strided pre-gate)
+                  + q*K            candidate-compaction row gather
+                  + q*K            exact gate on kept rows
+                  + axes*q*K       density plane/line fwd footprint gathers
+                  + axes*q*topk    appearance fwd gathers (split path)
+      scatter rows: axes*q*K       density plane backward scatter-add
+                  + axes*q*topk    appearance backward scatter-add
+    """
+    Rg = float(roof["plane_gather_rows_per_sec"])
+    Rs = float(roof["plane_scatter_rows_per_sec"])
+    t = 0.0
+    for q, K in strata:
+        k = K if K is not None else n_lattice
+        topk = min(shade_top_k or k, k)
+        gather_rows = q * (
+            n_lattice / COARSE_STRIDE + 2 * k + axes * k + axes * topk
+        )
+        scatter_rows = q * (axes * k + axes * topk)
+        t += gather_rows / Rg + scatter_rows / Rs
+    return t * 1e3
+
+
 def weighted_rays_per_sec(phase_times, batch):
     total_time = sum(n * t for (_, n, _, _), t in phase_times)
     return TOTAL_ITERS * batch / total_time
 
 
 def main():
+    from tensorf_tpu.models.config import cal_n_samples
+
     params_bench = load_params()
     batch = 4096
 
@@ -246,6 +327,27 @@ def main():
     cp_rays = weighted_rays_per_sec(cp_times, batch)
 
     roof = _roofline()
+
+    # per-phase roofline floors for the VMSplit headline (fwd+bwd rows)
+    floors = {}
+    pf = params_bench.get("prefilter") or DEFAULT_PARAMS["prefilter"]
+    for name, _, grid, mask_on in PHASES:
+        ns = cal_n_samples((grid, grid, grid), 0.5)
+        if mask_on:
+            strata = _strata_for(params_bench, ns)
+            floors[name] = round(
+                _floor_ms(roof, strata, ns, shade_top_k=SHADE_TOP_K), 1
+            )
+        else:
+            k = min(int(pf["prefilter_budget"]), ns)
+            floors[name] = round(
+                _floor_ms(roof, [(batch, k)], ns, shade_top_k=None), 1
+            )
+    vs_roofline = {
+        name: round(floors[name] / (t * 1e3), 3)
+        for (name, _, _, _), t in vm_times
+    }
+
     out = {
         "metric": "train_rays_per_sec_per_chip",
         "value": round(vm_rays, 1),
@@ -259,6 +361,8 @@ def main():
         "phase_ms_cp": {
             name: round(t * 1e3, 1) for (name, _, _, _), t in cp_times
         },
+        "floor_ms_vm": floors,
+        "vs_roofline_vm": vs_roofline,
         "bench_params": params_bench,
         **roof,
     }

@@ -115,6 +115,80 @@ def main():
     stats["candidate_histogram"] = {
         "edges": [int(e) for e in edges], "counts": [int(c) for c in hist]
     }
+
+    # ---- round 3: TRAINING-store stratification parameters ----
+    # The serving-side stats above include rays that miss everything; the
+    # train step samples the bbox+alpha-REFILTERED store, whose candidate
+    # distribution is what sizes the stratified sub-batches (train/loop.py
+    # ::restratify).  Reproduce that store and record the exact strata the
+    # loop would build, so bench.py charges the real stratified step.
+    from tensorf_tpu.render.culling import (
+        count_ray_candidates,
+        filter_rays_alpha,
+        filter_rays_bbox,
+        stratify_rays,
+    )
+    from tensorf_tpu.train.sampler import allocate_quotas
+
+    train_ds = BlenderDataset(args.datadir, split="train", is_stack=False)
+    t_rays = np.asarray(train_ds.all_rays, np.float32)
+    t_rgbs = np.asarray(train_ds.all_rgbs, np.float32)
+    t_rays, t_rgbs = filter_rays_bbox(t_rays, t_rgbs, geometry.aabb_np)
+    if alpha_mask is not None:
+        t_rays, _ = filter_rays_alpha(
+            t_rays, t_rgbs, alpha_mask, geometry.aabb_np,
+            geometry.step_size, (near, far),
+        )
+    t_sel = np.random.default_rng(1).choice(
+        t_rays.shape[0], size=min(4 * args.rays, t_rays.shape[0]),
+        replace=False,
+    )
+    t_counts = count_ray_candidates(
+        t_rays[t_sel], alpha_mask, geometry.aabb_np, geometry.step_size,
+        (near, far), n_samples=geometry.n_samples,
+    )
+    strata, budgets = stratify_rays(t_counts)
+    batch = 4096
+    quotas = allocate_quotas([s.size for s in strata], batch, 8)
+    stats["train_strata"] = {
+        "store_mean_candidates": round(float(t_counts.mean()), 1),
+        "store_p999_candidates": int(np.percentile(t_counts, 99.9)),
+        "sizes": [int(s.size) for s in strata],
+        "quotas": quotas,
+        "budgets": [int(b) for b in budgets],
+        "batch": batch,
+    }
+
+    # ---- phase-A (mask-free 128^3 warm-up) prefilter budget ----
+    # in-bbox candidate counts on the bbox-filtered train store at the
+    # INIT grid geometry; p999 (padded) is the monitored prefilter_budget
+    # the presets should carry (VERDICT r2 #7).
+    init_geom = GridGeometry.create(
+        np.asarray(train_ds.scene_bbox, np.float32).reshape(2, 3),
+        (128, 128, 128), model_cfg.step_ratio,
+    )
+    a_rays = np.asarray(train_ds.all_rays, np.float32)
+    a_rays, _ = filter_rays_bbox(
+        a_rays, np.asarray(train_ds.all_rgbs, np.float32), init_geom.aabb_np
+    )
+    a_sel = np.random.default_rng(2).choice(
+        a_rays.shape[0], size=min(args.rays, a_rays.shape[0]), replace=False
+    )
+    a_chunk = jnp.asarray(a_rays[a_sel])
+    xyz, _, valid = sample_along_rays(
+        a_chunk[:, :3], a_chunk[:, 3:6], jnp.asarray(init_geom.aabb_np),
+        near, far, init_geom.step_size, init_geom.n_samples, None,
+    )
+    a_counts = np.asarray(jnp.sum(valid, axis=-1))
+    stats["prefilter"] = {
+        "n_samples_lattice": init_geom.n_samples,
+        "mean_in_bbox": round(float(a_counts.mean()), 1),
+        "p999_in_bbox": int(np.percentile(a_counts, 99.9)),
+        "prefilter_budget": int(
+            np.ceil(np.percentile(a_counts, 99.9) / 32) * 32
+        ),
+    }
+
     with open(args.out, "w") as f:
         json.dump(stats, f, indent=1)
     print(json.dumps(stats, indent=1))

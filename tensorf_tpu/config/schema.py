@@ -133,6 +133,18 @@ class TrainConfig:
     # Per-ray candidate cap in the mask-free phase (iters before the first
     # alphaMask event); 0 = use sample_budget there too only if set.
     prefilter_budget: int = 0
+    # Alive-count-stratified ray batching (round 3): at each schedule event
+    # partition the ray store by per-ray candidate count and render
+    # per-stratum sub-batches at their own candidate budgets inside one
+    # jitted step (per-sample work ~ the store MEAN instead of the p99.9 a
+    # single fixed budget pays).  0 = single batch + sample_budget.
+    stratify: int = 1
+    strata_quantiles: List[float] = dataclasses.field(
+        default_factory=lambda: [0.5, 0.8, 0.95]
+    )
+    # Stratified serving: bucket eval/render rays by candidate count and
+    # render each bucket at its own budget (exact by construction).
+    stratify_render: int = 1
     n_devices: int = 0  # 0 = all visible devices (ray-batch DP)
     distributed: bool = False  # jax.distributed.initialize() (multi-host)
     profile_dir: str = ""  # dump a jax.profiler trace here when set

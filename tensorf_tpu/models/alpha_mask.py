@@ -130,6 +130,30 @@ def sample_alpha_gate_coarse(mask: AlphaGridMask, xyz: jax.Array) -> jax.Array:
     return jnp.repeat(hit, COARSE_STRIDE, axis=1)[:, :N]
 
 
+def coarse_gate_valid(mask, step_size: float, ndc_ray: bool) -> bool:
+    """Host-side check of the coarse pre-gate's conservative-superset
+    precondition (ADVICE r2).
+
+    The stride-window coverage argument (see COARSE_STRIDE) requires
+    (COARSE_STRIDE/2) * step_size <= 1 mask voxel, so that with the +-0.5
+    nearest-rounding slack the ks=5 (2-voxel) extra dilation still covers
+    every window sample; NDC rays have non-uniform world-space spacing and
+    break it outright.  Callers pass the result as the static
+    ``use_coarse_gate`` flag of render_rays / count_ray_candidates; when
+    False those fall back to the exact gate (correct, ~4x more gate rows).
+    """
+    if mask is None:
+        return True  # no gate in play
+    if ndc_ray:
+        return False
+    aabb = np.asarray(mask.aabb, np.float64).reshape(2, 3)
+    shape = np.asarray(mask.volume.shape[::-1], np.float64)  # (X, Y, Z)
+    voxel = (aabb[1] - aabb[0]) / np.maximum(shape - 1.0, 1.0)
+    return (COARSE_STRIDE / 2) * float(step_size) <= float(voxel.min()) * (
+        1.0 + 1e-6
+    )
+
+
 def max_pool_3d_same(volume: jax.Array, ks: int = 3) -> jax.Array:
     """ks-window max dilation with same padding (F.max_pool3d equivalent,
     reference tensorBase.py:241) via lax.reduce_window."""

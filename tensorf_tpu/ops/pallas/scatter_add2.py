@@ -60,8 +60,11 @@ def pick_layout(n_rows: int, n_chan: int, max_banks: int = 8):
                 if best is None or score < best[0]:
                     best = (score, cb, banks)
         cb //= 2
-    if best is None:  # gigantic row count: stream through narrowest block
-        return 64, 1
+    if best is None:
+        # No wide block fit (n_chan < 64, or gigantic row count): stream
+        # through the widest block that actually divides n_chan, 1 bank.
+        cb = max(d for d in range(1, min(n_chan, 64) + 1) if n_chan % d == 0)
+        return cb, 1
     return best[1], best[2]
 
 

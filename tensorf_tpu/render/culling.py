@@ -212,13 +212,21 @@ def filter_rays_alpha(
     return rays[mask], np.asarray(all_rgbs)[mask]
 
 
-@partial(jax.jit, static_argnames=("n_samples", "step_size", "near", "far"))
-def _candidate_counts(rays, alpha_mask, aabb, *, n_samples, step_size, near, far):
+@partial(
+    jax.jit,
+    static_argnames=("n_samples", "step_size", "near", "far", "coarse"),
+)
+def _candidate_counts(
+    rays, alpha_mask, aabb, *, n_samples, step_size, near, far, coarse
+):
     xyz, _, valid = sample_along_rays(
         rays[:, :3], rays[:, 3:6], aabb, near, far, step_size, n_samples,
         None,
     )
-    cand = valid & sample_alpha_gate_coarse(alpha_mask, xyz)
+    if coarse:
+        cand = valid & sample_alpha_gate_coarse(alpha_mask, xyz)
+    else:
+        cand = valid & (sample_alpha_gate(alpha_mask, xyz) > 0)
     return jnp.sum(cand.astype(jnp.int32), axis=-1)
 
 
@@ -230,6 +238,7 @@ def count_ray_candidates(
     near_far=(2.0, 6.0),
     n_samples: int = 256,
     chunk: int = 51200,
+    use_coarse: bool = True,
 ) -> np.ndarray:
     """Per-ray coarse candidate-sample counts over the ray store.
 
@@ -255,25 +264,58 @@ def count_ray_candidates(
                     jnp.asarray(part), alpha_mask, aabb_j,
                     n_samples=n_samples, step_size=float(step_size),
                     near=float(near_far[0]), far=float(near_far[1]),
+                    coarse=bool(use_coarse),
                 )
             )[:n]
         )
     return np.concatenate(out, axis=0)
 
 
-def stratify_rays(counts: np.ndarray, quantiles=(0.6, 0.95)):
+def _budget_hint(max_count: int) -> int:
+    """Candidate budget for a stratum: its max count + jitter slack, padded
+    to a 32-multiple (train-time stratified jitter moves samples within
+    their lattice bin, so live counts can exceed the deterministic count by
+    a few per surface crossing; overflow monitoring + auto-raise remain the
+    backstop)."""
+    return int(max(32, -(-(int(max_count) + 8) // 32) * 32))
+
+
+def stratify_rays(counts: np.ndarray, quantiles=(0.5, 0.8, 0.95),
+                  min_frac: float = 0.01):
     """Partition ray indices into strata by candidate count.
 
-    Returns (list of index arrays low->high, list of per-stratum budget
-    hints = each stratum's max count padded to a 32-multiple).
+    Returns (list of index arrays low->high, list of per-stratum candidate
+    budget hints).  Strata smaller than ``min_frac`` of the store merge
+    into their higher neighbor (a sub-batch render has fixed per-call cost;
+    slivers aren't worth one).
     """
-    edges = [int(np.quantile(counts, q)) for q in quantiles]
-    strata, budgets = [], []
+    counts = np.asarray(counts)
+    edges = sorted({int(np.quantile(counts, q)) for q in quantiles})
+    bounds = edges + [int(counts.max())]
+    raw = []
     lo = -1
-    for e in edges + [int(counts.max())]:
+    for e in bounds:
         sel = np.nonzero((counts > lo) & (counts <= e))[0]
         if sel.size:
-            strata.append(sel)
-            budgets.append(int(max(32, -(-int(counts[sel].max()) // 32) * 32)))
+            raw.append(sel)
         lo = e
+    # merge slivers upward (the last stratum merges downward)
+    min_n = max(1, int(min_frac * counts.size))
+    strata = []
+    for sel in raw:
+        strata.append(sel)
+        if len(strata) >= 2 and strata[-2].size < min_n:
+            strata[-1] = np.concatenate([strata.pop(-2), strata[-1]])
+    if len(strata) >= 2 and strata[-1].size < min_n:
+        strata[-2] = np.concatenate([strata[-2], strata.pop(-1)])
+    budgets = [_budget_hint(counts[sel].max()) for sel in strata]
+    # adjacent strata that rounded to the SAME budget gain nothing from
+    # separate sub-batches (each sub-render has fixed per-call cost) — merge
+    i = 0
+    while i + 1 < len(strata):
+        if budgets[i] == budgets[i + 1]:
+            strata[i] = np.concatenate([strata[i], strata.pop(i + 1)])
+            budgets.pop(i)
+        else:
+            i += 1
     return strata, budgets

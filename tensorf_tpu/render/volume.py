@@ -88,6 +88,8 @@ def render_rays(
     shade_top_k: Optional[int] = None,
     fused: bool = True,
     sample_budget: Optional[int] = None,
+    budget_mode: str = "alive",
+    use_coarse_gate: bool = True,
 ) -> RenderOutput:
     """Volume-render a batch of rays (B, 6) -> RenderOutput.
 
@@ -165,7 +167,41 @@ def render_rays(
     exact_gated = False
     if use_budget:
         K = sample_budget
-        if alpha_mask is not None:
+        if alpha_mask is not None and not use_coarse_gate:
+            # Coarse pre-gate precondition violated (coarse_gate_valid:
+            # NDC rays or step > half a mask voxel, ADVICE r2): select
+            # candidates with the EXACT gate — one compaction, no second
+            # gate pass, never drops an exact-alive sample under budget.
+            alive = ray_valid & (sample_alpha_gate(alpha_mask, xyz) > 0)
+            overflow_frac = jnp.mean(
+                (jnp.sum(alive.astype(jnp.int32), axis=-1) > K).astype(
+                    jnp.float32
+                )
+            )
+            xyz, z_vals, dists, ray_valid = _compact(
+                xyz, z_vals, dists, alive, K, n_samples
+            )
+            exact_gated = True
+        elif alpha_mask is not None and budget_mode == "cand":
+            # Single-stage CANDIDATE budget: K bounds the coarse candidate
+            # count per ray (the statistic alive-count stratification
+            # partitions the ray store by — per-stratum budgets are
+            # stratum candidate maxima, so compaction is exact by
+            # construction).  Keep the K nearest candidates, then run the
+            # exact gate on just those K rows; vs the two-stage "alive"
+            # mode this skips the K+224 intermediate entirely.
+            cand = ray_valid & sample_alpha_gate_coarse(alpha_mask, xyz)
+            overflow_frac = jnp.mean(
+                (jnp.sum(cand.astype(jnp.int32), axis=-1) > K).astype(
+                    jnp.float32
+                )
+            )
+            xyz, z_vals, dists, kept = _compact(
+                xyz, z_vals, dists, cand, K, n_samples
+            )
+            ray_valid = kept & (sample_alpha_gate(alpha_mask, xyz) > 0)
+            exact_gated = True
+        elif alpha_mask is not None:
             # Two-stage compaction: the coarse candidate shells (dilated
             # occupancy) are ~2x thicker than the exact-alive set, so
             # first coarse-compact to K1 cheaply, exact-gate just those K1
@@ -203,7 +239,7 @@ def render_rays(
         n_eff = K
 
     # Stage-2 cull: alpha-mask occupancy as a gate (tensorBase.py:349-354)
-    # — already applied exactly inside the two-stage compaction above.
+    # — already applied exactly inside the budget compaction above.
     if alpha_mask is not None and not exact_gated:
         ray_valid = ray_valid & (sample_alpha_gate(alpha_mask, xyz) > 0)
 

@@ -55,16 +55,19 @@ from ..parallel.mesh import (
     shard_ray_store_per_host,
     shard_rays,
 )
+from ..models.alpha_mask import coarse_gate_valid
 from ..render.culling import (
     compute_alpha_grid,
+    count_ray_candidates,
     filter_rays_alpha,
     filter_rays_bbox,
+    stratify_rays,
     update_alpha_mask,
 )
 from ..utils.ckpt import load_checkpoint, save_checkpoint
 from .losses import LossWeights
 from .optim import make_optimizer
-from .sampler import SimpleSampler
+from .sampler import SimpleSampler, StratifiedSampler, allocate_quotas
 from .step import TrainStatics, make_train_step
 
 
@@ -214,6 +217,15 @@ def reconstruction(cfg: TrainConfig) -> str:
     def put_batch(arr):
         return shard_rays(mesh, jnp.asarray(arr)) if n_dev > 1 else jnp.asarray(arr)
 
+    def put_store(arr):
+        """Device-resident (replicated) copy of a ray/rgb store: batches
+        are then gathered ON DEVICE from int32 ids — the per-step host
+        upload shrinks from the ray rows to a few KB of indices (VERDICT
+        r2 #4: the per-step host gather + tunnel H2D was the measured
+        ~150 ms/iter gap between the benched step and the real loop)."""
+        a = jnp.asarray(arr)
+        return replicate(mesh, a) if n_dev > 1 else a
+
     # ---- ray pre-filtering + sampler (train.py:288-292) ----
     allrays = np.asarray(train_dataset.all_rays, np.float32)
     allrgbs = np.asarray(train_dataset.all_rgbs, np.float32)
@@ -229,17 +241,34 @@ def reconstruction(cfg: TrainConfig) -> str:
     sampler = SimpleSampler(
         allrays.shape[0], local_batch, cfg.seed + jax.process_index()
     )
+    store_rays_d = put_store(allrays)
+    store_rgbs_d = put_store(allrgbs)
 
     l1_weight = cfg.L1_weight_inital
     ratio = cfg.mask_ratio_list[0] if cfg.mask_ratio_list else 1.0
 
-    # Mask-era sample budget with self-verification: starts at the
-    # configured value and auto-raises (next multiple of 32, capped at the
-    # lattice) whenever budget_overflow_frac shows the compaction dropping
-    # candidate samples — the exactness contract of the fixed-shape
-    # compaction (VERDICT r1 #3; reference semantics tensorBase.py:360-375).
+    # Budget state with self-verification: each active budget auto-raises
+    # (next multiple of 32, capped at the lattice) whenever its overflow
+    # fraction shows the compaction dropping candidate samples — the
+    # exactness contract of the fixed-shape compaction (VERDICT r1 #3;
+    # reference semantics tensorBase.py:360-375).  Which budget is "active"
+    # follows the phase (ADVICE r2: raise the one actually in effect):
+    #   * strata_budgets when stratification is live (list, per stratum),
+    #   * run_budget in an unstratified mask era,
+    #   * prefilter_run in the mask-free phase.
     run_budget = cfg.sample_budget if cfg.sample_budget > 0 else 0
-    overflow_strikes = 0
+    prefilter_run = cfg.prefilter_budget if cfg.prefilter_budget > 0 else 0
+    strata_budgets: Optional[list] = None  # None = unstratified
+    overflow_strikes = [0]  # per active budget (len = n_strata or 1)
+
+    # quota rounding keeps every per-stratum sub-batch evenly divisible
+    # across the device mesh (split boundaries align with shards)
+    quota_round = max(8, n_dev)
+
+    def coarse_ok() -> bool:
+        return coarse_gate_valid(
+            state.alpha_mask, state.geometry.step_size, ndc_ray
+        )
 
     def build_statics() -> TrainStatics:
         return TrainStatics(
@@ -265,8 +294,22 @@ def reconstruction(cfg: TrainConfig) -> str:
             max_visible=(
                 cfg.max_vis_freq_ratio if cfg.max_vis_freq_ratio > 0 else None
             ),
-            shade_top_k=cfg.shade_top_k if cfg.shade_top_k > 0 else None,
+            # top-K appearance compaction only once the mask era starts:
+            # pre-mask weights are diffuse (many samples above the shading
+            # threshold), so a small K would truncate real contributions;
+            # after the mask, weight mass concentrates on surfaces and K
+            # covers every above-threshold sample.
+            shade_top_k=(
+                cfg.shade_top_k
+                if cfg.shade_top_k > 0 and state.alpha_mask is not None
+                else None
+            ),
             fused=bool(cfg.fused_gathers),
+            use_coarse_gate=coarse_ok(),
+            from_store=True,
+            strata_budgets=(
+                tuple(strata_budgets) if strata_budgets is not None else None
+            ),
             # the per-ray budget only becomes exact once the alpha mask
             # culls most samples; before that every in-box sample is alive
             # and a budget would truncate rays mid-scene — unless the user
@@ -280,16 +323,60 @@ def reconstruction(cfg: TrainConfig) -> str:
                     and 0 < run_budget < state.n_samples
                 )
                 else (
-                    cfg.prefilter_budget
+                    prefilter_run
                     if (
                         state.alpha_mask is None
-                        and 0 < cfg.prefilter_budget < state.n_samples
+                        and 0 < prefilter_run < state.n_samples
                     )
                     else None
                 )
             ),
         )
 
+    def restratify(iteration: int) -> bool:
+        """(Re)partition the ray store by per-ray candidate count and swap
+        in the stratified sampler + per-stratum budgets (round-3 headline;
+        reference economy matched: tensorBase.py:360-375 pays each ray's
+        own alive count).  Returns True when stratification is active."""
+        nonlocal sampler, strata_budgets, overflow_strikes
+        if not cfg.stratify or state.alpha_mask is None or ndc_ray:
+            return False
+        counts = count_ray_candidates(
+            allrays,
+            state.alpha_mask,
+            state.geometry.aabb_np,
+            state.geometry.step_size,
+            near_far,
+            n_samples=state.n_samples,
+            use_coarse=coarse_ok(),
+        )
+        strata, budgets = stratify_rays(
+            counts, quantiles=tuple(cfg.strata_quantiles)
+        )
+        if len(strata) * quota_round > local_batch:
+            print(f"[{iteration}] stratify skipped (batch too small)")
+            return False
+        quotas = allocate_quotas(
+            [s.size for s in strata], local_batch, quota_round
+        )
+        strata_budgets = [
+            b if b < state.n_samples else None for b in budgets
+        ]
+        overflow_strikes = [0] * len(strata)
+        sampler = StratifiedSampler(
+            strata, quotas, cfg.seed + iteration + jax.process_index()
+        )
+        print(
+            f"[{iteration}] stratified ray store: sizes "
+            f"{[s.size for s in strata]}, quotas {quotas}, "
+            f"budgets {strata_budgets} (lattice {state.n_samples}, "
+            f"mean count {counts.mean():.1f}, p99.9 "
+            f"{np.quantile(counts, 0.999):.0f})"
+        )
+        return True
+
+    if state.alpha_mask is not None:  # resumed mid-schedule
+        restratify(0)
     step_fn = make_train_step(model, model_cfg, build_statics(), optimizer)
 
     def make_handle() -> RendererHandle:
@@ -305,6 +392,10 @@ def reconstruction(cfg: TrainConfig) -> str:
             ndc_ray=ndc_ray,
             shade_top_k=cfg.shade_top_k if cfg.shade_top_k > 0 else None,
             fused=bool(cfg.fused_gathers),
+            use_coarse_gate=coarse_ok(),
+            # serving-side stratification has its own per-bucket budgets;
+            # the fixed budget only applies on the uniform fallback path
+            stratified=bool(cfg.stratify_render) and not ndc_ray,
             sample_budget=(
                 run_budget
                 if (
@@ -334,8 +425,12 @@ def reconstruction(cfg: TrainConfig) -> str:
 
     for iteration in range(cfg.n_iters):
         ids = sampler.nextids()
-        rays = put_batch(allrays[ids])
-        rgbs = put_batch(allrgbs[ids])
+        # only the int32 ids cross the host link; the ray/rgb rows are
+        # gathered on device from the resident store inside the step
+        if isinstance(ids, tuple):
+            ids_d = tuple(put_batch(i.astype(np.int32)) for i in ids)
+        else:
+            ids_d = put_batch(ids.astype(np.int32))
         key, sub = jax.random.split(key)
 
         if cfg.profile_dir and iteration == cfg.profile_start:
@@ -346,8 +441,9 @@ def reconstruction(cfg: TrainConfig) -> str:
                 state.opt_state,
                 state.alpha_mask,
                 aabb_j,
-                rays,
-                rgbs,
+                store_rays_d,
+                store_rgbs_d,
+                ids_d,
                 jnp.asarray(iteration, jnp.int32),
                 sub,
             )
@@ -375,32 +471,69 @@ def reconstruction(cfg: TrainConfig) -> str:
             )
             overflow = float(m.get("budget_overflow_frac", 0.0))
             writer.add_scalar("train/budget_overflow_frac", overflow, iteration)
-            if overflow > 0.01:
-                print(
-                    f"[budget] overflow on {overflow:.1%} of rays at "
-                    f"iteration {iteration} (budget {run_budget})",
-                    flush=True,
-                )
-                overflow_strikes += 1
+            # Per-budget overflow bookkeeping; persistent overflow
+            # auto-raises the budget ACTUALLY in effect this phase
+            # (ADVICE r2: the old code raised run_budget even when the
+            # mask-free prefilter budget was the one overflowing).
+            if strata_budgets is not None:
+                per_budget = np.asarray(m["stratum_overflow"], np.float64)
             else:
-                overflow_strikes = 0
-            # persistent overflow: auto-raise the budget and re-trace now
-            # rather than waiting for the next schedule event
-            if (
-                overflow_strikes >= 2
-                and 0 < run_budget < state.n_samples
-            ):
-                run_budget = min(
-                    state.n_samples,
-                    int(np.ceil(run_budget * 1.5 / 32) * 32),
-                )
-                overflow_strikes = 0
+                per_budget = np.asarray([overflow])
+            if len(overflow_strikes) != len(per_budget):
+                overflow_strikes = [0] * len(per_budget)
+            raised = []
+            for s, o in enumerate(per_budget):
+                if float(o) > 0.01:
+                    overflow_strikes[s] += 1
+                    print(
+                        f"[budget] overflow on {float(o):.1%} of rays at "
+                        f"iteration {iteration} "
+                        + (
+                            f"(stratum {s}, budget {strata_budgets[s]})"
+                            if strata_budgets is not None
+                            else f"(budget {run_budget if state.alpha_mask is not None else prefilter_run})"
+                        ),
+                        flush=True,
+                    )
+                else:
+                    overflow_strikes[s] = 0
+                    continue
+                if overflow_strikes[s] < 2:
+                    continue
+                overflow_strikes[s] = 0
+
+                def _ceil32(b):
+                    return int(np.ceil(b * 1.5 / 32) * 32)
+
+                if strata_budgets is not None:
+                    b = strata_budgets[s]
+                    if b:
+                        nb = _ceil32(b)
+                        strata_budgets[s] = (
+                            nb if nb < state.n_samples else None
+                        )
+                        raised.append(f"stratum {s} -> {strata_budgets[s]}")
+                elif (
+                    state.alpha_mask is not None
+                    and 0 < run_budget < state.n_samples
+                ):
+                    run_budget = min(state.n_samples, _ceil32(run_budget))
+                    raised.append(f"sample_budget -> {run_budget}")
+                elif (
+                    state.alpha_mask is None
+                    and 0 < prefilter_run < state.n_samples
+                ):
+                    prefilter_run = min(
+                        state.n_samples, _ceil32(prefilter_run)
+                    )
+                    raised.append(f"prefilter_budget -> {prefilter_run}")
+            if raised:
                 step_fn = make_train_step(
                     model, model_cfg, build_statics(), optimizer
                 )
                 print(
-                    f"[budget] auto-raised sample_budget to {run_budget} "
-                    f"at iteration {iteration} (re-trace)",
+                    f"[budget] auto-raised {', '.join(raised)} at "
+                    f"iteration {iteration} (re-trace)",
                     flush=True,
                 )
             elapsed = time.time() - run_tic
@@ -546,9 +679,17 @@ def reconstruction(cfg: TrainConfig) -> str:
                     state.geometry.step_size,
                     near_far,
                 )
+                store_rays_d = put_store(allrays)
+                store_rgbs_d = put_store(allrgbs)
+                # keep per-host seed decorrelation after reseeding
+                # (ADVICE r2); restratify() below re-partitions the new
+                # store when stratification is on
                 sampler = SimpleSampler(
-                    allrays.shape[0], local_batch, cfg.seed + iteration
+                    allrays.shape[0],
+                    local_batch,
+                    cfg.seed + iteration + jax.process_index(),
                 )
+                rebuild = True
             # L1 weight switches after the first alpha-mask event (upstream
             # TensoRF behavior; flags L1_weight_rest at opt.py:50).
             if l1_weight != cfg.L1_weight_rest and cfg.L1_weight_rest >= 0:
@@ -591,6 +732,10 @@ def reconstruction(cfg: TrainConfig) -> str:
             print(f"[{iteration}] upsampled to {new_grid}")
 
         if rebuild:
+            # any schedule event that changed the mask/geometry also moves
+            # per-ray candidate counts -> re-partition the store (the
+            # count pass is chunked and jitted; a few seconds per event)
+            restratify(iteration)
             if n_dev > 1:
                 state.params = replicate(mesh, state.params)
                 state.opt_state = replicate(mesh, state.opt_state)
@@ -672,8 +817,13 @@ def render_test(cfg: TrainConfig):
         ndc_ray=bool(cfg.ndc_ray),
         shade_top_k=cfg.shade_top_k if cfg.shade_top_k > 0 else None,
         # same fast path as the in-training renderer: packed fused gathers
-        # and the (mask-gated) per-ray sample budget
+        # plus candidate-count-stratified per-bucket budgets (fallback:
+        # the mask-gated fixed per-ray budget)
         fused=bool(cfg.fused_gathers),
+        use_coarse_gate=coarse_gate_valid(
+            alpha_mask, geometry.step_size, bool(cfg.ndc_ray)
+        ),
+        stratified=bool(cfg.stratify_render) and not cfg.ndc_ray,
         sample_budget=(
             cfg.sample_budget
             if (alpha_mask is not None and cfg.sample_budget > 0)

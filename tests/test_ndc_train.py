@@ -72,7 +72,7 @@ def test_ndc_train_and_render(rng):
         model, cfg, step_size=0.05, n_samples=32,
         white_bg=False, ndc_ray=True,
     )
-    rgb, depth, _ = render_chunked(
+    rgb, depth, _, _ = render_chunked(
         fn, params, None, np.asarray(rays), aabb, chunk=64
     )
     assert rgb.shape == (128, 3)

@@ -52,39 +52,12 @@ def test_your_own_dataset_reads_colmap2nerf_style(tmp_path, rng):
     assert ds2.all_rays.shape[0] == 2 * 20 * 30
 
 
-def test_pallas_line_kernel_matches_matmul(rng):
-    """Interpret-mode parity of the Pallas fused lerp-matmul kernel."""
-    from tensorf_tpu.ops.grid_sample import line_sample_matmul
-    from tensorf_tpu.ops.pallas.line_matmul import line_sample_pallas
+def test_pick_layout_small_channel_counts():
+    """pick_layout must return a divisor of n_chan even for n_chan < 64
+    or when no wide block fits (ADVICE r2: hardcoded-64 fallback)."""
+    from tensorf_tpu.ops.pallas.scatter_add2 import pick_layout
 
-    L, C, M = 64, 32, 2500
-    line = jnp.asarray(rng.normal(size=(L, C)).astype(np.float32))
-    coord = jnp.asarray(rng.uniform(-1.1, 1.1, (M,)).astype(np.float32))
-    ref = line_sample_matmul(line, coord)
-    out = line_sample_pallas(line, coord)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
-
-    ct = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
-    g_ref = jax.grad(
-        lambda l: jnp.sum(line_sample_matmul(l, coord) * ct)
-    )(line)
-    g_out = jax.grad(
-        lambda l: jnp.sum(line_sample_pallas(l, coord) * ct)
-    )(line)
-    np.testing.assert_allclose(
-        np.asarray(g_out), np.asarray(g_ref), rtol=1e-4, atol=1e-5
-    )
-
-
-def test_pallas_scatter_add_matches_xla(rng):
-    """Interpret-mode parity of the VMEM-accumulator scatter kernel."""
-    from tensorf_tpu.ops.pallas.scatter_add import scatter_add_pallas
-
-    M, HW, C = 5000, 256, 128
-    idx = jnp.asarray(rng.integers(0, HW, M).astype(np.int32))
-    g = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
-    ref = jnp.zeros((HW, C)).at[idx].add(g)
-    out = scatter_add_pallas(idx, g, HW)
-    np.testing.assert_allclose(
-        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-4
-    )
+    for n_rows, n_chan in [(256, 48), (256, 27), (10**7, 48), (10**7, 500)]:
+        cb, banks = pick_layout(n_rows, n_chan)
+        assert n_chan % cb == 0, (n_rows, n_chan, cb)
+        assert banks >= 1

@@ -142,7 +142,7 @@ def test_render_chunked_pads_tail(setup, rng):
         model, CFG, step_size=0.05, n_samples=64,
         white_bg=True, ndc_ray=False,
     )
-    rgb, depth, nv = render_chunked(
+    rgb, depth, nv, _ = render_chunked(
         fn, params, None, rays, AABB, chunk=32
     )
     assert rgb.shape == (100, 3)
@@ -153,7 +153,7 @@ def test_render_chunked_pads_tail(setup, rng):
         model, CFG, step_size=0.05, n_samples=64,
         white_bg=True, ndc_ray=False,
     )
-    rgb2, _, _ = render_chunked(
+    rgb2, _, _, _ = render_chunked(
         fn_big, params, None, rays, AABB, chunk=128
     )
     np.testing.assert_allclose(rgb, rgb2, rtol=1e-5, atol=1e-5)
@@ -214,7 +214,7 @@ def test_render_frame_single_dispatch_matches_chunked(rng):
         model, cfg, step_size=0.06, n_samples=64, white_bg=True,
         ndc_ray=False,
     )
-    rgb_c, depth_c, _ = render_chunked(fn, params, None, rays, aabb, chunk=32)
+    rgb_c, depth_c, _, _ = render_chunked(fn, params, None, rays, aabb, chunk=32)
     rgb_f, depth_f = render_frame(static, params, None, rays, aabb, tile=32)
     np.testing.assert_allclose(rgb_f, rgb_c, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(depth_f, depth_c, rtol=1e-5, atol=1e-5)
