@@ -236,20 +236,16 @@ def _phase_step_time(model_name, grid, mask_on, params_bench,
 
 
 def _roofline(batch=4096):
-    """Measured per-op ceilings for attribution (gather/scatter rows/s)."""
+    """Measured per-op ceilings at the row widths the step actually moves:
+    64B (gate probes / compaction rows), 256B (packed 4-tap x 16ch density
+    footprint rows), 768B (4-tap x 48ch appearance rows); the 1KB numbers
+    are kept for continuity with r1/r2 bench JSONs."""
     import jax
     import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
-    M, R, C = 1_048_576, 90000, 256
+    M, R = 1_048_576, 90000
     idx = jnp.asarray(rng.integers(0, R, size=M).astype(np.int32))
-    tbl = jnp.asarray(rng.normal(size=(R, C)).astype(np.float32))
-    g = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
-
-    gather = jax.jit(lambda t, i: jnp.take(t, i, axis=0).sum(0))
-    scatter = jax.jit(
-        lambda gg, i: jnp.zeros((R, C), jnp.float32).at[i].add(gg)
-    )
 
     def t_of(f, *a, iters=6):
         o = f(*a); float(jax.device_get(jnp.sum(o)))
@@ -264,40 +260,64 @@ def _roofline(batch=4096):
         float(jax.device_get(jnp.sum(o)))
         return ((time.perf_counter() - tic) - t1) / iters
 
-    tg, ts = t_of(gather, tbl, idx), t_of(scatter, g, idx)
-    return {
-        "plane_gather_rows_per_sec": round(M / tg, 0),
-        "plane_scatter_rows_per_sec": round(M / ts, 0),
-        "gather_bytes_per_sec": round(M * C * 4 / tg, 0),
-        "scatter_bytes_per_sec": round(M * C * 4 / ts, 0),
-    }
+    out = {}
+    for C in (16, 64, 192, 256):
+        tbl = jnp.asarray(rng.normal(size=(R, C)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
+        gather = jax.jit(lambda t, i: jnp.take(t, i, axis=0).sum(0))
+        scatter = jax.jit(
+            lambda gg, i, _R=R, _C=C: jnp.zeros((_R, _C), jnp.float32)
+            .at[i]
+            .add(gg)
+        )
+        tg, ts = t_of(gather, tbl, idx), t_of(scatter, g, idx)
+        out[f"gather_rows_per_sec_{C*4}B"] = round(M / tg, 0)
+        out[f"scatter_rows_per_sec_{C*4}B"] = round(M / ts, 0)
+    # legacy field names (1KB rows) for r1/r2 comparability
+    out["plane_gather_rows_per_sec"] = out["gather_rows_per_sec_1024B"]
+    out["plane_scatter_rows_per_sec"] = out["scatter_rows_per_sec_1024B"]
+    return out
 
 
 def _floor_ms(roof, strata, n_lattice, *, shade_top_k, axes=3):
     """Roofline floor for one train step (VERDICT r2 #3): the time the
-    measured gather/scatter ceilings allow for the rows the step MUST move,
-    ignoring every flop (MLP, matmuls, top-k, Adam) and all fusion slack.
+    measured gather/scatter ceilings allow for the rows the step MUST
+    move, at the widths it moves them, ignoring every flop (MLP, line
+    matmuls, top-k, Adam) and all fusion slack.
 
     Per stratum of quota q at budget K (None -> full lattice):
-      gather rows:  q*lattice/4    coarse-gate probes (strided pre-gate)
-                  + q*K            candidate-compaction row gather
-                  + q*K            exact gate on kept rows
-                  + axes*q*K       density plane/line fwd footprint gathers
-                  + axes*q*topk    appearance fwd gathers (split path)
-      scatter rows: axes*q*K       density plane backward scatter-add
-                  + axes*q*topk    appearance backward scatter-add
+      64B-class gathers:  q*lattice/4  coarse-gate probes (strided)
+                        + q*K          candidate-compaction row gather
+                        + q*K          exact gate on kept rows
+    split path (shade_top_k set):
+      256B gathers:       axes*q*K     density 4-tap footprint fwd rows
+      768B gathers:       axes*q*topk  appearance footprint fwd rows
+      256B scatters:      axes*q*K     density footprint backward
+      768B scatters:      axes*q*topk  appearance footprint backward
+    unsplit path (no top-k, fused den+app table):
+      1KB gathers/scatters: axes*q*K   combined 4-tap footprint rows
     """
-    Rg = float(roof["plane_gather_rows_per_sec"])
-    Rs = float(roof["plane_scatter_rows_per_sec"])
+    g64 = float(roof["gather_rows_per_sec_64B"])
+    g256 = float(roof["gather_rows_per_sec_256B"])
+    g768 = float(roof["gather_rows_per_sec_768B"])
+    g1k = float(roof["gather_rows_per_sec_1024B"])
+    s256 = float(roof["scatter_rows_per_sec_256B"])
+    s768 = float(roof["scatter_rows_per_sec_768B"])
+    s1k = float(roof["scatter_rows_per_sec_1024B"])
     t = 0.0
     for q, K in strata:
         k = K if K is not None else n_lattice
-        topk = min(shade_top_k or k, k)
-        gather_rows = q * (
-            n_lattice / COARSE_STRIDE + 2 * k + axes * k + axes * topk
-        )
-        scatter_rows = q * (axes * k + axes * topk)
-        t += gather_rows / Rg + scatter_rows / Rs
+        t += q * (n_lattice / COARSE_STRIDE + 2 * k) / g64
+        if shade_top_k is not None:
+            topk = min(shade_top_k, k)
+            t += q * (
+                axes * k / g256
+                + axes * topk / g768
+                + axes * k / s256
+                + axes * topk / s768
+            )
+        else:
+            t += q * (axes * k / g1k + axes * k / s1k)
     return t * 1e3
 
 

@@ -139,9 +139,9 @@ class TrainConfig:
     # jitted step (per-sample work ~ the store MEAN instead of the p99.9 a
     # single fixed budget pays).  0 = single batch + sample_budget.
     stratify: int = 1
-    strata_quantiles: List[float] = dataclasses.field(
-        default_factory=lambda: [0.5, 0.8, 0.95]
-    )
+    # empty = cost-optimal DP partition (render/culling.py::_optimal_edges);
+    # a quantile list forces explicit stratum edges.
+    strata_quantiles: List[float] = dataclasses.field(default_factory=list)
     # Stratified serving: bucket eval/render rays by candidate count and
     # render each bucket at its own budget (exact by construction).
     stratify_render: int = 1

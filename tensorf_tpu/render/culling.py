@@ -280,18 +280,79 @@ def _budget_hint(max_count: int) -> int:
     return int(max(32, -(-(int(max_count) + 8) // 32) * 32))
 
 
-def stratify_rays(counts: np.ndarray, quantiles=(0.5, 0.8, 0.95),
+def _optimal_edges(counts: np.ndarray, max_strata: int = 6,
+                   stratum_penalty: float = 0.01):
+    """Budget-class partition minimizing the expected per-ray budget.
+
+    Every ray in a stratum pays the stratum's (padded) max budget, so the
+    per-step sample cost is E[stratum budget]; quantile edges are
+    arbitrary — the optimal contiguous partition over the ~n_samples/32
+    padded-budget classes is exact via a tiny DP.  ``stratum_penalty``
+    charges each extra stratum 1% of total cost (a sub-batch render has
+    some fixed per-call cost), which also picks the stratum COUNT.
+
+    Returns upper-inclusive count edges (ascending, last == counts.max()).
+    """
+    counts = np.asarray(counts, np.int64)
+    classes = np.maximum(32, -((counts + 8) // -32) * 32)  # _budget_hint
+    uniq, freq = np.unique(classes, return_counts=True)
+    m = uniq.size
+    if m == 1:
+        return [int(counts.max())]
+    pref = np.concatenate([[0], np.cumsum(freq)])
+    S_max = min(max_strata, m)
+    INF = float("inf")
+    # dp[s][j]: min cost of covering classes [0, j) with s strata
+    dp = [[INF] * (m + 1) for _ in range(S_max + 1)]
+    choice = [[0] * (m + 1) for _ in range(S_max + 1)]
+    dp[0][0] = 0.0
+    for s in range(1, S_max + 1):
+        for j in range(1, m + 1):
+            for i in range(j):
+                if dp[s - 1][i] == INF:
+                    continue
+                c = dp[s - 1][i] + (pref[j] - pref[i]) * float(uniq[j - 1])
+                if c < dp[s][j]:
+                    dp[s][j] = c
+                    choice[s][j] = i
+    total = float(counts.size)
+    best_s = min(
+        range(1, S_max + 1),
+        key=lambda s: dp[s][m] / total * (1.0 + stratum_penalty * s),
+    )
+    # recover class boundaries -> count edges
+    cuts = []
+    j = m
+    for s in range(best_s, 0, -1):
+        cuts.append(j)
+        j = choice[s][j]
+    cuts = sorted(set(cuts))
+    edges = []
+    for j in cuts:
+        b = uniq[j - 1]  # stratum budget class
+        # the largest actual count in this class
+        edges.append(int(counts[classes <= b].max()))
+    edges[-1] = int(counts.max())
+    return sorted(set(edges))
+
+
+def stratify_rays(counts: np.ndarray, quantiles=None,
                   min_frac: float = 0.01):
     """Partition ray indices into strata by candidate count.
 
-    Returns (list of index arrays low->high, list of per-stratum candidate
-    budget hints).  Strata smaller than ``min_frac`` of the store merge
-    into their higher neighbor (a sub-batch render has fixed per-call cost;
+    ``quantiles=None`` (default) uses the cost-optimal DP partition
+    (_optimal_edges); a quantile tuple forces explicit edges.  Returns
+    (list of index arrays low->high, list of per-stratum candidate budget
+    hints).  Strata smaller than ``min_frac`` of the store merge into
+    their higher neighbor (a sub-batch render has fixed per-call cost;
     slivers aren't worth one).
     """
     counts = np.asarray(counts)
-    edges = sorted({int(np.quantile(counts, q)) for q in quantiles})
-    bounds = edges + [int(counts.max())]
+    if quantiles is None:
+        bounds = _optimal_edges(counts)
+    else:
+        edges = sorted({int(np.quantile(counts, q)) for q in quantiles})
+        bounds = edges + [int(counts.max())]
     raw = []
     lo = -1
     for e in bounds:

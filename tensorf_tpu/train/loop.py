@@ -351,7 +351,10 @@ def reconstruction(cfg: TrainConfig) -> str:
             use_coarse=coarse_ok(),
         )
         strata, budgets = stratify_rays(
-            counts, quantiles=tuple(cfg.strata_quantiles)
+            counts,
+            quantiles=(
+                tuple(cfg.strata_quantiles) if cfg.strata_quantiles else None
+            ),
         )
         if len(strata) * quota_round > local_batch:
             print(f"[{iteration}] stratify skipped (batch too small)")

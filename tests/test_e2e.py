@@ -52,6 +52,71 @@ def test_few_shot_selection(scene):
 
 
 @pytest.mark.slow
+def test_stratified_equals_uniform_psnr(scene, tmp_path):
+    """Stratified batching is a scheduling optimization: a full short run
+    with stratify=1 must land within noise of stratify=0 at the same
+    settings (VERDICT r2 #1 done-criterion).  Draws differ (different
+    sampler), so equivalence is statistical: ~1 dB at 300 iters."""
+    from tensorf_tpu.train.loop import reconstruction
+
+    def run(stratify, name):
+        cfg = TrainConfig(
+            expname=name,
+            basedir=str(tmp_path / name),
+            datadir=scene,
+            dataset_name="blender",
+            model_name="TensorVMSplit",
+            shadingMode="MLP_Fea",
+            n_iters=300,
+            batch_size=512,
+            N_voxel_init=24**3,
+            N_voxel_final=40**3,
+            upsamp_list=[150],
+            update_AlphaMask_list=[200, 260],
+            n_lamb_sigma=[4, 4, 4],
+            n_lamb_sh=[8, 8, 8],
+            data_dim_color=9,
+            featureC=32,
+            pos_pe=2,
+            view_pe=2,
+            fea_pe=2,
+            lr_init=0.05,
+            lr_basis=2e-3,
+            density_shift=-3.0,
+            L1_weight_inital=8e-5,
+            TV_weight_density=0.01,
+            TV_weight_app=0.01,
+            Ortho_weight=0.01,
+            stratify=stratify,
+            stratify_render=stratify,
+            vis_every=0,
+            train_vis_every=0,
+            render_test=1,
+            progress_refresh_rate=100,
+            n_devices=1,
+        )
+        from functools import partial
+
+        from tensorf_tpu.data import dataset_dict
+
+        orig = dataset_dict["blender"]
+        dataset_dict["blender"] = partial(orig, wh=(40, 40))
+        try:
+            ckpt = reconstruction(cfg)
+        finally:
+            dataset_dict["blender"] = orig
+        mean = np.loadtxt(
+            f"{os.path.dirname(ckpt)}/imgs_test_all/mean.txt"
+        ).reshape(-1)
+        return float(mean[0])
+
+    psnr_strat = run(1, "strat")
+    psnr_unif = run(0, "unif")
+    assert psnr_strat > 18.0 and psnr_unif > 18.0, (psnr_strat, psnr_unif)
+    assert abs(psnr_strat - psnr_unif) < 1.0, (psnr_strat, psnr_unif)
+
+
+@pytest.mark.slow
 def test_full_reconstruction_pipeline(scene, tmp_path):
     """Short full run with every schedule event; PSNR must beat the
     white-image baseline by a clear margin and artifacts must exist."""
