@@ -74,7 +74,7 @@ def _scene(datadir):
     return train, test
 
 
-def run_reference(datadir, iters):
+def run_reference(datadir, iters, seed=0):
     """Train the reference TensorVMSplit (torch CPU) with the reference's
     own loop semantics (train.py:296-392 core: mse + L1 + ortho, per-group
     Adam betas (0.9, 0.99), exponential lr decay)."""
@@ -83,7 +83,7 @@ def run_reference(datadir, iters):
     sys.path.insert(0, "/root/reference")
     from models.tensoRF import TensorVMSplit  # noqa: E402
 
-    torch.manual_seed(0)
+    torch.manual_seed(seed)
     train, test = _scene(datadir)
     aabb = torch.tensor(
         np.asarray(train.scene_bbox, np.float32).reshape(2, 3)
@@ -101,7 +101,7 @@ def run_reference(datadir, iters):
     test_rays = torch.from_numpy(np.asarray(test.all_rays, np.float32))
     test_rgbs = np.asarray(test.all_rgbs, np.float32)
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     rows, t_train = [], 0.0
     for it in range(iters + 1):
         tic = time.perf_counter()
@@ -144,7 +144,7 @@ def run_reference(datadir, iters):
     return rows, rays_per_sec
 
 
-def run_ours(datadir, iters, force_cpu=False):
+def run_ours(datadir, iters, force_cpu=False, seed=0):
     """Train our framework at the same hyperparameters (single segment)."""
     import jax
 
@@ -179,7 +179,7 @@ def run_ours(datadir, iters, force_cpu=False):
     model = FIELD_MODELS[cfg.model_name]
     aabb_np = np.asarray(train.scene_bbox, np.float32).reshape(2, 3)
     geometry = GridGeometry.create(aabb_np, GRID, 0.5)
-    params = model.init(jax.random.PRNGKey(0), cfg, GRID)
+    params = model.init(jax.random.PRNGKey(seed), cfg, GRID)
     lr_factor = LR_DECAY_RATIO ** (1 / iters)
     optimizer, opt_state = make_optimizer(params, LR_INIT, LR_BASIS, lr_factor)
     statics = TrainStatics(
@@ -204,8 +204,8 @@ def run_ours(datadir, iters, force_cpu=False):
         n_samples=geometry.n_samples, white_bg=True, ndc_ray=False,
     )
 
-    rng = np.random.default_rng(0)
-    key = jax.random.PRNGKey(1)
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed + 1)
     rows, t_train = [], 0.0
     for it in range(iters + 1):
         tic = time.perf_counter()
@@ -238,6 +238,7 @@ def main():
     ap.add_argument("--skip-ref", action="store_true")
     ap.add_argument("--skip-ours", action="store_true")
     ap.add_argument("--ours-cpu", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=os.path.join(ROOT, "PARITY_RUN.md"))
     args = ap.parse_args()
 
@@ -248,11 +249,12 @@ def main():
             state = json.load(f)
 
     if not args.skip_ref:
-        ref_rows, ref_rps = run_reference(args.datadir, args.iters)
+        ref_rows, ref_rps = run_reference(args.datadir, args.iters, seed=args.seed)
         state["ref"] = {"rows": ref_rows, "rays_per_sec": ref_rps}
     if not args.skip_ours:
         ours_rows, ours_rps = run_ours(
-            args.datadir, args.iters, force_cpu=args.ours_cpu
+            args.datadir, args.iters, force_cpu=args.ours_cpu,
+            seed=args.seed,
         )
         state["ours"] = {"rows": ours_rows, "rays_per_sec": ours_rps}
     with open(state_path, "w") as f:
