@@ -81,6 +81,32 @@ def main():
                 f"{hist['train_psnr'][i]:.2f} | "
                 f"{hist['test_psnr'][i]:.2f} | {hist['mse'][i]:.5f} |"
             )
+    # per-segment step time from consecutive Iteration lines (VERDICT r2
+    # #4 done-criterion: steady-state rate vs the benched step rate)
+    seg = []
+    pat = re.compile(r"Iteration (\d+):.*elapsed = ([\d.]+)s")
+    prev = None
+    for l in iters:
+        m = pat.search(l)
+        if not m:
+            continue
+        it, el = int(m.group(1)), float(m.group(2))
+        if prev is not None and it > prev[0]:
+            seg.append((prev[0], it, (el - prev[1]) / (it - prev[0]) * 1e3))
+        prev = (it, el)
+    if seg:
+        out.append("## Per-segment step time (ms/iter, includes event/"
+                   "compile overhead at boundaries)\n")
+        out.append("| iters | ms/iter |")
+        out.append("|---|---|")
+        for a, b, ms in seg:
+            out.append(f"| {a}-{b} | {ms:.1f} |")
+        steady = [ms for a, b, ms in seg if a >= 7000]
+        if steady:
+            out.append(
+                f"\nSteady-state (>=7000, final grid incl. eval pauses): "
+                f"median {np.median(steady):.1f} ms/iter."
+            )
     out.append("")
     out.append("## Progress line samples\n```")
     step = max(1, len(iters) // 20)
