@@ -92,12 +92,16 @@ def load_params():
 
 
 def _strata_for(params_bench, n_samples):
-    """(quota, budget) pairs for the mask-era stratified step; budgets are
-    capped at the lattice (None = unbudgeted stratum)."""
+    """(quota, cand_budget, alive_budget) triples for the mask-era
+    stratified step; budgets are capped at the lattice (None = unbudgeted
+    stratum; alive None = single-stage)."""
     ts = params_bench.get("train_strata") or DEFAULT_PARAMS["train_strata"]
+    alive = ts.get("alive_budgets") or [0] * len(ts["quotas"])
     out = []
-    for q, b in zip(ts["quotas"], ts["budgets"]):
-        out.append((int(q), int(b) if int(b) < n_samples else None))
+    for q, b, a in zip(ts["quotas"], ts["budgets"], alive):
+        cb = int(b) if int(b) < n_samples else None
+        ab = int(a) if (cb is not None and 0 < int(a) < cb) else None
+        out.append((int(q), cb, ab))
     return out
 
 
@@ -139,9 +143,13 @@ def _make_step(model_name, grid, mask_on, batch, params_bench):
 
     if mask_on:
         strata = _strata_for(params_bench, n_samples)
-        strata_budgets = tuple(b for _, b in strata)
-        quotas = [q for q, _ in strata]
+        strata_budgets = tuple(b for _, b, _ in strata)
+        strata_alive = tuple(a for _, _, a in strata)
+        if not any(a is not None for a in strata_alive):
+            strata_alive = None
+        quotas = [q for q, _, _ in strata]
     else:
+        strata_alive = None
         pf = params_bench.get("prefilter") or DEFAULT_PARAMS["prefilter"]
         strata_budgets = None
         quotas = [batch]
@@ -163,6 +171,7 @@ def _make_step(model_name, grid, mask_on, batch, params_bench):
         # production layout: device-resident ray store, ids-only feed
         from_store=True,
         strata_budgets=strata_budgets,
+        strata_alive_budgets=strata_alive,
         sample_budget=(
             None if mask_on
             else min(int(pf["prefilter_budget"]), n_samples - 1)
@@ -285,17 +294,19 @@ def _floor_ms(roof, strata, n_lattice, *, shade_top_k, axes=3):
     move, at the widths it moves them, ignoring every flop (MLP, line
     matmuls, top-k, Adam) and all fusion slack.
 
-    Per stratum of quota q at budget K (None -> full lattice):
+    Per stratum of quota q at candidate budget K (None -> full lattice)
+    and exact-alive budget K2 (None -> K2 = K, single stage):
       64B-class gathers:  q*lattice/4  coarse-gate probes (strided)
                         + q*K          candidate-compaction row gather
                         + q*K          exact gate on kept rows
+                        + q*K2         alive-compaction row gather (stage 2)
     split path (shade_top_k set):
-      256B gathers:       axes*q*K     density 4-tap footprint fwd rows
+      256B gathers:       axes*q*K2    density 4-tap footprint fwd rows
       768B gathers:       axes*q*topk  appearance footprint fwd rows
-      256B scatters:      axes*q*K     density footprint backward
+      256B scatters:      axes*q*K2    density footprint backward
       768B scatters:      axes*q*topk  appearance footprint backward
     unsplit path (no top-k, fused den+app table):
-      1KB gathers/scatters: axes*q*K   combined 4-tap footprint rows
+      1KB gathers/scatters: axes*q*K2  combined 4-tap footprint rows
     """
     g64 = float(roof["gather_rows_per_sec_64B"])
     g256 = float(roof["gather_rows_per_sec_256B"])
@@ -305,19 +316,23 @@ def _floor_ms(roof, strata, n_lattice, *, shade_top_k, axes=3):
     s768 = float(roof["scatter_rows_per_sec_768B"])
     s1k = float(roof["scatter_rows_per_sec_1024B"])
     t = 0.0
-    for q, K in strata:
+    for q, K, *rest in strata:
+        K2 = rest[0] if rest else None
         k = K if K is not None else n_lattice
+        k2 = K2 if (K2 is not None and K is not None) else k
         t += q * (n_lattice / COARSE_STRIDE + 2 * k) / g64
+        if k2 < k:
+            t += q * k2 / g64  # stage-2 alive compaction row gather
         if shade_top_k is not None:
-            topk = min(shade_top_k, k)
+            topk = min(shade_top_k, k2)
             t += q * (
-                axes * k / g256
+                axes * k2 / g256
                 + axes * topk / g768
-                + axes * k / s256
+                + axes * k2 / s256
                 + axes * topk / s768
             )
         else:
-            t += q * (axes * k / g1k + axes * k / s1k)
+            t += q * (axes * k2 / g1k + axes * k2 / s1k)
     return t * 1e3
 
 

@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Step-time attribution by ablation (round-3 follow-up to the roofline).
+
+Times the mask-era / phase-A VMSplit configuration with pieces disabled,
+so the gap between the measured step and the roofline floor is
+attributable without a trace viewer:
+
+  full        the real train step (fwd + bwd + Adam + regs)
+  fwd         render only (no grad/optimizer)
+  no_shade    render with shading short-circuited via shade_top_k=1
+  no_budget   render without the budget compaction (full lattice gates)
+  den_only    density_feature_fused only: gather+sigma+raw2alpha, no app
+
+Usage: python scripts/ablate_step.py [--phase A|C]
+"""
+
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", default="C", choices=["A", "C"])
+    ap.add_argument("--iters", type=int, default=8)
+    args = ap.parse_args()
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(ROOT, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    import jax
+
+    from tensorf_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    import jax.numpy as jnp
+
+    from tensorf_tpu.models import FIELD_MODELS, ModelConfig
+    from tensorf_tpu.models.alpha_mask import AlphaGridMask, with_dilation
+    from tensorf_tpu.models.config import cal_n_samples
+    from tensorf_tpu.ops.freq_mask import FreeMasks
+    from tensorf_tpu.render.volume import render_rays
+
+    params_bench = bench.load_params()
+    grid = 300 if args.phase == "C" else 128
+    mask_on = args.phase == "C"
+    batch = 4096
+
+    cfg = ModelConfig(
+        model_name="TensorVMSplit", density_n_comp=(16, 16, 16),
+        app_n_comp=(48, 48, 48), app_dim=27, shading_mode="MLP_Fea",
+        pos_pe=2, view_pe=2, fea_pe=2, feature_c=128,
+    )
+    model = FIELD_MODELS[cfg.model_name]
+    gs = (grid, grid, grid)
+    n_samples = cal_n_samples(gs, 0.5)
+    step_size = float(3.0 / (grid - 1) * 0.5)
+    params = model.init(jax.random.PRNGKey(0), cfg, gs)
+    aabb = jnp.asarray([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]])
+
+    rng = np.random.default_rng(0)
+    o = rng.normal(size=(batch, 3))
+    o = 4.0 * o / np.linalg.norm(o, axis=-1, keepdims=True)
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.concatenate([o, d], -1).astype(np.float32))
+
+    mask = None
+    if mask_on:
+        mg = min(grid, 214)
+        occ = float(params_bench["mask_occupancy"])
+        vol = (rng.uniform(size=(mg, mg, mg)) < occ).astype(np.float32)
+        mask = with_dilation(
+            AlphaGridMask(aabb=aabb, volume=jnp.asarray(vol))
+        )
+
+    if mask_on:
+        strata = bench._strata_for(params_bench, n_samples)
+    else:
+        pf = params_bench.get("prefilter") or bench.DEFAULT_PARAMS[
+            "prefilter"
+        ]
+        strata = [
+            (batch, min(int(pf["prefilter_budget"]), n_samples - 1), None)
+        ]
+
+    def timed(f, *a, iters=args.iters):
+        o = f(*a)
+        jax.device_get(jnp.sum(o[0] if isinstance(o, tuple) else o))
+        tic = time.perf_counter()
+        for _ in range(iters):
+            o = f(*a)
+        jax.device_get(jnp.sum(o[0] if isinstance(o, tuple) else o))
+        t1 = time.perf_counter() - tic
+        tic = time.perf_counter()
+        for _ in range(2 * iters):
+            o = f(*a)
+        jax.device_get(jnp.sum(o[0] if isinstance(o, tuple) else o))
+        return ((time.perf_counter() - tic) - t1) / iters
+
+    def render_strata(params, rays, *, shade_top_k, budgets=None,
+                      use_budget=True):
+        """Concatenated per-stratum renders (mirrors the stratified step)."""
+        outs = []
+        start = 0
+        for q, K, K2 in strata:
+            sub = jax.lax.dynamic_slice_in_dim(rays, start % batch, q)
+            start += q
+            out = render_rays(
+                model, cfg, params, mask, sub, None, FreeMasks(),
+                aabb=aabb, step_size=step_size, n_samples=n_samples,
+                is_train=False, white_bg=True, ndc_ray=False,
+                shade_top_k=shade_top_k, fused=True,
+                sample_budget=(K if use_budget else None),
+                budget_mode="cand" if mask_on else "alive",
+                alive_budget=(K2 if use_budget else None),
+            )
+            outs.append(out.rgb)
+        return jnp.concatenate(outs)
+
+    topk = 32 if mask_on else None
+    variants = {
+        "fwd": jax.jit(
+            lambda p, r: render_strata(p, r, shade_top_k=topk)
+        ),
+        "fwd_bwd": jax.jit(
+            jax.grad(
+                lambda p, r: jnp.sum(
+                    render_strata(p, r, shade_top_k=topk)
+                ),
+            )
+        ),
+        "fwd_shade1": jax.jit(
+            lambda p, r: render_strata(p, r, shade_top_k=1)
+        ),
+        "fwd_nobudget": jax.jit(
+            lambda p, r: render_strata(
+                p, r, shade_top_k=topk, use_budget=False
+            )
+        ),
+    }
+    out = {"phase": args.phase, "strata": strata, "n_samples": n_samples}
+    for name, fn in variants.items():
+        try:
+            t = timed(fn, params, rays)
+            out[name + "_ms"] = round(t * 1e3, 1)
+            print(f"{name:14s} {t*1e3:8.1f} ms", flush=True)
+        except Exception as e:
+            print(f"{name:14s} FAILED {type(e).__name__}: {e}", flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

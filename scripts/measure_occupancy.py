@@ -123,7 +123,8 @@ def main():
     # ::restratify).  Reproduce that store and record the exact strata the
     # loop would build, so bench.py charges the real stratified step.
     from tensorf_tpu.render.culling import (
-        count_ray_candidates,
+        _budget_hint,
+        count_ray_candidates_and_alive,
         filter_rays_alpha,
         filter_rays_bbox,
         stratify_rays,
@@ -143,19 +144,28 @@ def main():
         t_rays.shape[0], size=min(4 * args.rays, t_rays.shape[0]),
         replace=False,
     )
-    t_counts = count_ray_candidates(
+    t_counts, t_alive = count_ray_candidates_and_alive(
         t_rays[t_sel], alpha_mask, geometry.aabb_np, geometry.step_size,
         (near, far), n_samples=geometry.n_samples,
     )
     strata, budgets = stratify_rays(t_counts)
+    # per-stratum exact-alive stage-2 budgets (train/loop.py::restratify):
+    # padded alive maximum when it undercuts the candidate budget, else 0
+    # (= single stage)
+    alive_budgets = []
+    for sel, b in zip(strata, budgets):
+        hint = _budget_hint(t_alive[sel].max())
+        alive_budgets.append(int(hint) if hint < int(b) else 0)
     batch = 4096
     quotas = allocate_quotas([s.size for s in strata], batch, 8)
     stats["train_strata"] = {
         "store_mean_candidates": round(float(t_counts.mean()), 1),
         "store_p999_candidates": int(np.percentile(t_counts, 99.9)),
+        "store_mean_alive": round(float(t_alive.mean()), 1),
         "sizes": [int(s.size) for s in strata],
         "quotas": quotas,
         "budgets": [int(b) for b in budgets],
+        "alive_budgets": alive_budgets,
         "batch": batch,
     }
 

@@ -145,6 +145,11 @@ class TrainConfig:
     # Stratified serving: bucket eval/render rays by candidate count and
     # render each bucket at its own budget (exact by construction).
     stratify_render: int = 1
+    # Exact-alive second compaction stage inside each stratum: compact the
+    # kept candidates down to the measured per-stratum exact-alive maximum
+    # before the expensive per-sample gathers (alive ≈ 0.5-0.7x candidates,
+    # BENCH_PARAMS.json).  0 = single-stage candidate budgets only.
+    stratify_alive: int = 1
     n_devices: int = 0  # 0 = all visible devices (ray-batch DP)
     distributed: bool = False  # jax.distributed.initialize() (multi-host)
     profile_dir: str = ""  # dump a jax.profiler trace here when set

@@ -33,6 +33,7 @@ from .volume import render_rays
         "sample_budget",
         "budget_mode",
         "use_coarse_gate",
+        "alive_budget",
     ),
 )
 def _render_eval(
@@ -53,6 +54,7 @@ def _render_eval(
     sample_budget,
     budget_mode="alive",
     use_coarse_gate=True,
+    alive_budget=None,
 ):
     out = render_rays(
         model,
@@ -73,6 +75,7 @@ def _render_eval(
         sample_budget=sample_budget,
         budget_mode=budget_mode,
         use_coarse_gate=use_coarse_gate,
+        alive_budget=alive_budget,
     )
     return out.rgb, out.depth, out.num_valid_samples, out.budget_overflow_frac
 
@@ -90,6 +93,7 @@ def make_render_fn(
     sample_budget: Optional[int] = None,
     budget_mode: str = "alive",
     use_coarse_gate: bool = True,
+    alive_budget: Optional[int] = None,
 ):
     """Bind the static render configuration; returns f(params, alpha_mask,
     rays, aabb, masks) -> (rgb, depth, num_valid, overflow_frac)."""
@@ -112,6 +116,7 @@ def make_render_fn(
             sample_budget=sample_budget,
             budget_mode=budget_mode,
             use_coarse_gate=use_coarse_gate,
+            alive_budget=alive_budget,
         )
 
     return fn
@@ -302,22 +307,37 @@ def render_chunked_stratified(
     (renderer.py:13-26) where torch's dynamic compaction pays per-ray
     cost automatically.
     """
-    from .culling import count_ray_candidates  # no import cycle: culling
-    # imports render.volume only
+    # no import cycle: culling imports render.volume only
+    from .culling import (
+        count_ray_candidates,
+        count_ray_candidates_and_alive,
+    )
 
     rays = np.asarray(rays, dtype=np.float32)
     M = rays.shape[0]
     near_far = tuple(float(v) for v in cfg.near_far)
-    counts = count_ray_candidates(
-        rays,
-        alpha_mask,
-        np.asarray(aabb),
-        step_size,
-        near_far,
-        n_samples=n_samples,
-        chunk=max(chunk, 32768),
-        use_coarse=use_coarse_gate,
-    )
+    if use_coarse_gate:
+        counts, alive_counts = count_ray_candidates_and_alive(
+            rays,
+            alpha_mask,
+            np.asarray(aabb),
+            step_size,
+            near_far,
+            n_samples=n_samples,
+            chunk=max(chunk, 32768),
+        )
+    else:
+        counts = count_ray_candidates(
+            rays,
+            alpha_mask,
+            np.asarray(aabb),
+            step_size,
+            near_far,
+            n_samples=n_samples,
+            chunk=max(chunk, 32768),
+            use_coarse=False,
+        )
+        alive_counts = None
     order = np.argsort(counts, kind="stable")
     sorted_counts = counts[order]
 
@@ -336,6 +356,17 @@ def render_chunked_stratified(
             end = int(np.searchsorted(sorted_counts, tier, side="right"))
         if end <= start:
             continue
+        # Exact-alive second stage per bucket: eval counts are deterministic
+        # (no jitter), so the bucket's alive maximum — snapped UP to the
+        # same static tier ladder to bound program variants — is an exact
+        # stage-2 budget.  Only worth compiling when it undercuts the
+        # candidate tier.
+        alive_tier = None
+        if tier is not None and alive_counts is not None:
+            amax = int(alive_counts[order[start:end]].max())
+            snapped = next((t for t in BUDGET_TIERS if t >= amax), None)
+            if snapped is not None and snapped < tier:
+                alive_tier = snapped
         fn = make_render_fn(
             model,
             cfg,
@@ -348,6 +379,7 @@ def render_chunked_stratified(
             sample_budget=tier,
             budget_mode="cand",
             use_coarse_gate=use_coarse_gate,
+            alive_budget=alive_tier,
         )
         rgb_b, depth_b, nv, of = render_chunked(
             fn,

@@ -230,6 +230,33 @@ def _candidate_counts(
     return jnp.sum(cand.astype(jnp.int32), axis=-1)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("n_samples", "step_size", "near", "far"),
+)
+def _candidate_counts_both(
+    rays, alpha_mask, aabb, *, n_samples, step_size, near, far
+):
+    """(coarse candidate count, exact alive count) per ray in one pass.
+
+    The exact gate dominates (one gathered probe per lattice sample); the
+    strided coarse probes add ~1/COARSE_STRIDE on top, so fusing both into
+    one program costs ~25% over the exact count alone vs 2x for two
+    passes.  Feeds the two budget stages of stratified batching: stage 1
+    compacts by coarse candidates, stage 2 by exact-alive rows.
+    """
+    xyz, _, valid = sample_along_rays(
+        rays[:, :3], rays[:, 3:6], aabb, near, far, step_size, n_samples,
+        None,
+    )
+    cand = valid & sample_alpha_gate_coarse(alpha_mask, xyz)
+    alive = valid & (sample_alpha_gate(alpha_mask, xyz) > 0)
+    return (
+        jnp.sum(cand.astype(jnp.int32), axis=-1),
+        jnp.sum(alive.astype(jnp.int32), axis=-1),
+    )
+
+
 def count_ray_candidates(
     all_rays,
     alpha_mask: AlphaGridMask,
@@ -269,6 +296,39 @@ def count_ray_candidates(
             )[:n]
         )
     return np.concatenate(out, axis=0)
+
+
+def count_ray_candidates_and_alive(
+    all_rays,
+    alpha_mask: AlphaGridMask,
+    aabb,
+    step_size: float,
+    near_far=(2.0, 6.0),
+    n_samples: int = 256,
+    chunk: int = 51200,
+):
+    """Per-ray (coarse candidate, exact alive) counts over the ray store —
+    one fused device pass (see _candidate_counts_both).  Candidate counts
+    drive the stratification edges / stage-1 budgets; alive counts size the
+    per-stratum exact-alive stage-2 budgets."""
+    rays = np.asarray(all_rays, np.float32)
+    aabb_j = jnp.asarray(aabb, jnp.float32).reshape(2, 3)
+    cands, alives = [], []
+    for start in range(0, rays.shape[0], chunk):
+        part = rays[start : start + chunk]
+        n = part.shape[0]
+        if n < chunk:
+            part = np.concatenate(
+                [part, np.broadcast_to(part[-1:], (chunk - n, 6))], 0
+            )
+        c, a = _candidate_counts_both(
+            jnp.asarray(part), alpha_mask, aabb_j,
+            n_samples=n_samples, step_size=float(step_size),
+            near=float(near_far[0]), far=float(near_far[1]),
+        )
+        cands.append(np.asarray(c)[:n])
+        alives.append(np.asarray(a)[:n])
+    return np.concatenate(cands, axis=0), np.concatenate(alives, axis=0)
 
 
 def _budget_hint(max_count: int) -> int:

@@ -90,6 +90,7 @@ def render_rays(
     sample_budget: Optional[int] = None,
     budget_mode: str = "alive",
     use_coarse_gate: bool = True,
+    alive_budget: Optional[int] = None,
 ) -> RenderOutput:
     """Volume-render a batch of rays (B, 6) -> RenderOutput.
 
@@ -191,15 +192,31 @@ def render_rays(
             # exact gate on just those K rows; vs the two-stage "alive"
             # mode this skips the K+224 intermediate entirely.
             cand = ray_valid & sample_alpha_gate_coarse(alpha_mask, xyz)
-            overflow_frac = jnp.mean(
-                (jnp.sum(cand.astype(jnp.int32), axis=-1) > K).astype(
-                    jnp.float32
-                )
-            )
+            over1 = jnp.sum(cand.astype(jnp.int32), axis=-1) > K
             xyz, z_vals, dists, kept = _compact(
                 xyz, z_vals, dists, cand, K, n_samples
             )
             ray_valid = kept & (sample_alpha_gate(alpha_mask, xyz) > 0)
+            if alive_budget is not None and alive_budget < K:
+                # Exact-alive second stage: the dilated coarse shells keep
+                # ~1.3-2x more rows than survive the exact gate, so compact
+                # once more to the (measured per-stratum) exact-alive
+                # budget — every downstream per-sample gather/scatter
+                # (density footprint fwd + bwd, the step's widest rows)
+                # then runs at the alive count, not the candidate count.
+                # Exact whenever K2 covers each ray's exact-alive set;
+                # overflow of either stage reports combined.
+                K2 = alive_budget
+                over2 = (
+                    jnp.sum(ray_valid.astype(jnp.int32), axis=-1) > K2
+                )
+                xyz, z_vals, dists, ray_valid = _compact(
+                    xyz, z_vals, dists, ray_valid, K2, K
+                )
+                overflow_frac = jnp.mean((over1 | over2).astype(jnp.float32))
+                K = K2
+            else:
+                overflow_frac = jnp.mean(over1.astype(jnp.float32))
             exact_gated = True
         elif alpha_mask is not None:
             # Two-stage compaction: the coarse candidate shells (dilated

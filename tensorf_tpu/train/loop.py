@@ -57,8 +57,10 @@ from ..parallel.mesh import (
 )
 from ..models.alpha_mask import coarse_gate_valid
 from ..render.culling import (
+    _budget_hint,
     compute_alpha_grid,
     count_ray_candidates,
+    count_ray_candidates_and_alive,
     filter_rays_alpha,
     filter_rays_bbox,
     stratify_rays,
@@ -259,6 +261,7 @@ def reconstruction(cfg: TrainConfig) -> str:
     run_budget = cfg.sample_budget if cfg.sample_budget > 0 else 0
     prefilter_run = cfg.prefilter_budget if cfg.prefilter_budget > 0 else 0
     strata_budgets: Optional[list] = None  # None = unstratified
+    strata_alive_budgets: Optional[list] = None  # stage-2 exact-alive caps
     overflow_strikes = [0]  # per active budget (len = n_strata or 1)
 
     # quota rounding keeps every per-stratum sub-batch evenly divisible
@@ -310,6 +313,11 @@ def reconstruction(cfg: TrainConfig) -> str:
             strata_budgets=(
                 tuple(strata_budgets) if strata_budgets is not None else None
             ),
+            strata_alive_budgets=(
+                tuple(strata_alive_budgets)
+                if strata_alive_budgets is not None
+                else None
+            ),
             # the per-ray budget only becomes exact once the alpha mask
             # culls most samples; before that every in-box sample is alive
             # and a budget would truncate rays mid-scene — unless the user
@@ -338,18 +346,50 @@ def reconstruction(cfg: TrainConfig) -> str:
         in the stratified sampler + per-stratum budgets (round-3 headline;
         reference economy matched: tensorBase.py:360-375 pays each ray's
         own alive count).  Returns True when stratification is active."""
-        nonlocal sampler, strata_budgets, overflow_strikes
+        nonlocal sampler, strata_budgets, strata_alive_budgets
+        nonlocal overflow_strikes
+
+        def deactivate():
+            # fall back to the plain sampler consistently: a stale
+            # stratified sampler/budget pair must never outlive a store
+            # refilter (treedef/shape mismatch with the step signature)
+            nonlocal sampler, strata_budgets, strata_alive_budgets
+            nonlocal overflow_strikes
+            if strata_budgets is not None:
+                strata_budgets = None
+                strata_alive_budgets = None
+                overflow_strikes = [0]
+                sampler = SimpleSampler(
+                    allrays.shape[0],
+                    local_batch,
+                    cfg.seed + iteration + jax.process_index(),
+                )
+
         if not cfg.stratify or state.alpha_mask is None or ndc_ray:
+            deactivate()
             return False
-        counts = count_ray_candidates(
-            allrays,
-            state.alpha_mask,
-            state.geometry.aabb_np,
-            state.geometry.step_size,
-            near_far,
-            n_samples=state.n_samples,
-            use_coarse=coarse_ok(),
-        )
+        if coarse_ok():
+            counts, alive_counts = count_ray_candidates_and_alive(
+                allrays,
+                state.alpha_mask,
+                state.geometry.aabb_np,
+                state.geometry.step_size,
+                near_far,
+                n_samples=state.n_samples,
+            )
+        else:
+            # without a valid coarse gate the step selects candidates with
+            # the exact gate (one stage) — no second compaction to size
+            counts = count_ray_candidates(
+                allrays,
+                state.alpha_mask,
+                state.geometry.aabb_np,
+                state.geometry.step_size,
+                near_far,
+                n_samples=state.n_samples,
+                use_coarse=False,
+            )
+            alive_counts = None
         strata, budgets = stratify_rays(
             counts,
             quantiles=(
@@ -358,6 +398,7 @@ def reconstruction(cfg: TrainConfig) -> str:
         )
         if len(strata) * quota_round > local_batch:
             print(f"[{iteration}] stratify skipped (batch too small)")
+            deactivate()
             return False
         quotas = allocate_quotas(
             [s.size for s in strata], local_batch, quota_round
@@ -365,6 +406,20 @@ def reconstruction(cfg: TrainConfig) -> str:
         strata_budgets = [
             b if b < state.n_samples else None for b in budgets
         ]
+        # Stage-2 exact-alive budgets: worth a second compaction only when
+        # the stratum's padded alive maximum sits BELOW its candidate
+        # budget (the compaction's own row traffic must be amortized)
+        if alive_counts is not None and bool(cfg.stratify_alive):
+            strata_alive_budgets = []
+            for sel, b in zip(strata, strata_budgets):
+                hint = _budget_hint(alive_counts[sel].max())
+                strata_alive_budgets.append(
+                    hint if (b is not None and hint < b) else None
+                )
+            if not any(a is not None for a in strata_alive_budgets):
+                strata_alive_budgets = None
+        else:
+            strata_alive_budgets = None
         overflow_strikes = [0] * len(strata)
         sampler = StratifiedSampler(
             strata, quotas, cfg.seed + iteration + jax.process_index()
@@ -372,7 +427,8 @@ def reconstruction(cfg: TrainConfig) -> str:
         print(
             f"[{iteration}] stratified ray store: sizes "
             f"{[s.size for s in strata]}, quotas {quotas}, "
-            f"budgets {strata_budgets} (lattice {state.n_samples}, "
+            f"budgets {strata_budgets}, alive budgets "
+            f"{strata_alive_budgets} (lattice {state.n_samples}, "
             f"mean count {counts.mean():.1f}, p99.9 "
             f"{np.quantile(counts, 0.999):.0f})"
         )
@@ -516,6 +572,30 @@ def reconstruction(cfg: TrainConfig) -> str:
                             nb if nb < state.n_samples else None
                         )
                         raised.append(f"stratum {s} -> {strata_budgets[s]}")
+                    # per-stratum overflow reports both stages combined, so
+                    # raise the stage-2 alive cap alongside (dropped when it
+                    # no longer undercuts the candidate budget)
+                    if (
+                        strata_alive_budgets is not None
+                        and strata_alive_budgets[s]
+                    ):
+                        na = _ceil32(strata_alive_budgets[s])
+                        cb = strata_budgets[s]
+                        strata_alive_budgets[s] = (
+                            na if (cb is not None and na < cb) else None
+                        )
+                        if not any(
+                            a is not None for a in strata_alive_budgets
+                        ):
+                            strata_alive_budgets = None
+                        raised.append(
+                            f"stratum {s} alive -> "
+                            + str(
+                                strata_alive_budgets[s]
+                                if strata_alive_budgets is not None
+                                else None
+                            )
+                        )
                 elif (
                     state.alpha_mask is not None
                     and 0 < run_budget < state.n_samples

@@ -69,6 +69,11 @@ class TrainStatics(NamedTuple):
     # that stratum); requires from_store and a tuple-of-ids argument of
     # the same length.
     strata_budgets: Optional[Tuple[Optional[int], ...]] = None
+    # Per-stratum EXACT-ALIVE budgets (second compaction stage): entry s
+    # compacts stratum s's kept candidates down to the measured exact-alive
+    # maximum before the expensive per-sample work.  None entry = single
+    # stage for that stratum.  Same length as strata_budgets when set.
+    strata_alive_budgets: Optional[Tuple[Optional[int], ...]] = None
 
 
 def _build_masks(cfg: ModelConfig, statics: TrainStatics, step) -> FreeMasks:
@@ -106,7 +111,8 @@ def make_train_step(model, cfg: ModelConfig, statics: TrainStatics, optimizer):
 
     lw = statics.weights
 
-    def _render(params, alpha_mask, aabb, rays, key, masks, budget, mode):
+    def _render(params, alpha_mask, aabb, rays, key, masks, budget, mode,
+                alive_budget=None):
         return render_rays(
             model,
             cfg,
@@ -126,6 +132,7 @@ def make_train_step(model, cfg: ModelConfig, statics: TrainStatics, optimizer):
             sample_budget=budget,
             budget_mode=mode,
             use_coarse_gate=statics.use_coarse_gate,
+            alive_budget=alive_budget,
         )
 
     def loss_fn(params, alpha_mask, aabb, rays, rgbs, ids, step, key):
@@ -138,6 +145,10 @@ def make_train_step(model, cfg: ModelConfig, statics: TrainStatics, optimizer):
             # cross-stratum concat of sharded arrays).
             assert statics.from_store and isinstance(ids, tuple)
             assert len(ids) == len(statics.strata_budgets)
+            alive_budgets = statics.strata_alive_budgets or (
+                (None,) * len(ids)
+            )
+            assert len(alive_budgets) == len(statics.strata_budgets)
             sizes = [int(i.shape[0]) for i in ids]
             total_rays = float(sum(sizes))
             keys = jax.random.split(key, len(ids))
@@ -153,7 +164,7 @@ def make_train_step(model, cfg: ModelConfig, statics: TrainStatics, optimizer):
                 rgbs_s = jnp.take(rgbs, ids_s, axis=0)
                 out = _render(
                     params, alpha_mask, aabb, rays_s, keys[s], masks,
-                    budget_s, "cand",
+                    budget_s, "cand", alive_budgets[s],
                 )
                 w = sizes[s] / total_rays
                 mse = mse + w * mse_loss(out.rgb, rgbs_s)

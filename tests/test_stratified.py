@@ -104,6 +104,98 @@ def test_cand_budget_mode_exact_when_budget_covers_counts(setup, rng):
         assert float(tiny.budget_overflow_frac) > 0.0
 
 
+def test_alive_second_stage_exact_when_budget_covers_counts(setup, rng):
+    """cand-mode + exact-alive stage-2 compaction at alive_budget >= each
+    ray's exact-alive count must equal the unbudgeted masked render; a too
+    small stage-2 budget must trip the overflow monitor."""
+    from tensorf_tpu.render.culling import count_ray_candidates_and_alive
+
+    model, params, mask = setup
+    rays = _rays(rng, 64)
+    cand, alive = count_ray_candidates_and_alive(
+        rays, mask, np.asarray(AABB), STEP, (2.0, 6.0), n_samples=NS
+    )
+    budget = int(max(32, -(-int(cand.max()) // 32) * 32))
+    alive_budget = int(max(32, -(-int(alive.max()) // 32) * 32))
+    assert budget < NS and alive_budget <= budget
+    # make the stage-2 compaction non-trivial when the geometry allows
+    kw = dict(
+        aabb=AABB, step_size=STEP, n_samples=NS,
+        is_train=False, white_bg=True, ndc_ray=False,
+    )
+    full = render_rays(
+        model, CFG, params, mask, jnp.asarray(rays), None, FreeMasks(), **kw
+    )
+    two = render_rays(
+        model, CFG, params, mask, jnp.asarray(rays), None, FreeMasks(),
+        sample_budget=budget, budget_mode="cand",
+        alive_budget=alive_budget, **kw
+    )
+    assert float(two.budget_overflow_frac) == 0.0
+    np.testing.assert_allclose(
+        np.asarray(two.rgb), np.asarray(full.rgb), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(two.depth), np.asarray(full.depth), rtol=1e-4, atol=1e-4
+    )
+    if int(alive.max()) > 32:
+        tiny = render_rays(
+            model, CFG, params, mask, jnp.asarray(rays), None, FreeMasks(),
+            sample_budget=budget, budget_mode="cand", alive_budget=32, **kw
+        )
+        assert float(tiny.budget_overflow_frac) > 0.0
+
+
+def test_stratified_step_with_alive_budgets_finite(setup, rng):
+    """The from-store stratified step accepts per-stratum alive budgets and
+    reports zero overflow when they cover the drawn rays' alive counts."""
+    from tensorf_tpu.render.culling import (
+        _budget_hint,
+        count_ray_candidates_and_alive,
+    )
+    from tensorf_tpu.train.losses import LossWeights
+    from tensorf_tpu.train.optim import make_optimizer
+    from tensorf_tpu.train.step import TrainStatics, make_train_step
+
+    model, params, mask = setup
+    store = _rays(np.random.default_rng(5), 256)
+    rgbs = np.random.default_rng(6).uniform(size=(256, 3)).astype(np.float32)
+    cand, alive = count_ray_candidates_and_alive(
+        store, mask, np.asarray(AABB), STEP, (2.0, 6.0), n_samples=NS
+    )
+    strata, budgets = stratify_rays(cand, quantiles=(0.5,))
+    budgets = [b if b < NS else None for b in budgets]
+    alive_budgets = []
+    for sel, b in zip(strata, budgets):
+        hint = _budget_hint(alive[sel].max())
+        alive_budgets.append(hint if (b is not None and hint < b) else None)
+    d = np.random.default_rng(8)
+    ids = tuple(
+        np.asarray(s[d.integers(0, s.size, size=16)], np.int32)
+        for s in strata
+    )
+    optimizer, opt_state = make_optimizer(params, 0.02, 1e-3, 0.999)
+    fn = make_train_step(
+        model, CFG, TrainStatics(
+            n_samples=NS, step_size=STEP, white_bg=True, ndc_ray=False,
+            total_steps=100, lr_factor=0.999,
+            weights=LossWeights(l1=8e-5),
+            from_store=True, strata_budgets=tuple(budgets),
+            strata_alive_budgets=tuple(alive_budgets),
+        ), optimizer,
+    )
+    p1, _, m = fn(
+        jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, opt_state),
+        mask, AABB, jnp.asarray(store), jnp.asarray(rgbs),
+        tuple(jnp.asarray(i) for i in ids),
+        jnp.asarray(0, jnp.int32), jax.random.PRNGKey(0),
+    )
+    assert np.isfinite(float(m["total_loss"]))
+    # deterministic-count slack (+8, pad 32) absorbs the train-time jitter
+    # here; the monitor must stay quiet
+    assert float(m["budget_overflow_frac"]) == 0.0
+
+
 def test_exact_gate_fallback_matches_unbudgeted(setup, rng):
     """use_coarse_gate=False (NDC / coarse-step configs, ADVICE r2) selects
     candidates with the exact gate; result must still match unbudgeted."""
