@@ -257,17 +257,25 @@ def _roofline(batch=4096):
     idx = jnp.asarray(rng.integers(0, R, size=M).astype(np.int32))
 
     def t_of(f, *a, iters=6):
+        # Two independent N-vs-2N deltas; keep the SLOWER one.  A single
+        # delta produced one fluke (r3 initial bench: 1KB scatter read
+        # 242M rows/s = 4x r2; SCATTER_RECHECK_r03.txt re-measured 58M
+        # across 16 configs) — an inflated t1 deflates the delta, and
+        # flukes are always in the too-fast direction.
         o = f(*a); float(jax.device_get(jnp.sum(o)))
-        tic = time.perf_counter()
-        for _ in range(iters):
-            o = f(*a)
-        float(jax.device_get(jnp.sum(o)))
-        t1 = time.perf_counter() - tic
-        tic = time.perf_counter()
-        for _ in range(2 * iters):
-            o = f(*a)
-        float(jax.device_get(jnp.sum(o)))
-        return ((time.perf_counter() - tic) - t1) / iters
+        est = []
+        for _ in range(2):
+            tic = time.perf_counter()
+            for _ in range(iters):
+                o = f(*a)
+            float(jax.device_get(jnp.sum(o)))
+            t1 = time.perf_counter() - tic
+            tic = time.perf_counter()
+            for _ in range(2 * iters):
+                o = f(*a)
+            float(jax.device_get(jnp.sum(o)))
+            est.append(((time.perf_counter() - tic) - t1) / iters)
+        return max(est)
 
     out = {}
     for C in (16, 64, 192, 256):

@@ -34,6 +34,7 @@ def main():
         os.path.dirname(os.path.abspath(__file__)), "..", "BENCH_PARAMS.json"
     ))
     ap.add_argument("--rays", type=int, default=65536)
+    ap.add_argument("--stratify-by", default="cand", choices=["cand", "alive"])
     args = ap.parse_args()
 
     import jax
@@ -128,6 +129,7 @@ def main():
         filter_rays_alpha,
         filter_rays_bbox,
         stratify_rays,
+        stratify_rays_joint,
     )
     from tensorf_tpu.train.sampler import allocate_quotas
 
@@ -148,14 +150,21 @@ def main():
         t_rays[t_sel], alpha_mask, geometry.aabb_np, geometry.step_size,
         (near, far), n_samples=geometry.n_samples,
     )
-    strata, budgets = stratify_rays(t_counts)
-    # per-stratum exact-alive stage-2 budgets (train/loop.py::restratify):
-    # padded alive maximum when it undercuts the candidate budget, else 0
-    # (= single stage)
-    alive_budgets = []
-    for sel, b in zip(strata, budgets):
-        hint = _budget_hint(t_alive[sel].max())
-        alive_budgets.append(int(hint) if hint < int(b) else 0)
+    # candidate-primary stratification is the measured optimum (per-row
+    # gather/scatter cost is nearly width-flat — SCATTER_RECHECK_r03.txt —
+    # so total rows moved dominates; the alive-primary joint partition
+    # that tightens stage-2 at the cost of looser stage-1 budgets measured
+    # a wash for VMSplit and a 1.46x regression for CP).  --stratify-by
+    # alive reproduces the A/B.
+    if args.stratify_by == "alive":
+        strata, budgets, alive_hints = stratify_rays_joint(t_counts, t_alive)
+    else:
+        strata, budgets = stratify_rays(t_counts)
+        alive_hints = []
+        for sel, b in zip(strata, budgets):
+            hint = _budget_hint(t_alive[sel].max())
+            alive_hints.append(hint if hint < int(b) else None)
+    alive_budgets = [int(a) if a is not None else 0 for a in alive_hints]
     batch = 4096
     quotas = allocate_quotas([s.size for s in strata], batch, 8)
     stats["train_strata"] = {

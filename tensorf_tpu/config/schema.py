@@ -145,11 +145,17 @@ class TrainConfig:
     # Stratified serving: bucket eval/render rays by candidate count and
     # render each bucket at its own budget (exact by construction).
     stratify_render: int = 1
-    # Exact-alive second compaction stage inside each stratum: compact the
-    # kept candidates down to the measured per-stratum exact-alive maximum
-    # before the expensive per-sample gathers (alive ≈ 0.5-0.7x candidates,
-    # BENCH_PARAMS.json).  0 = single-stage candidate budgets only.
-    stratify_alive: int = 1
+    # Alive-primary joint stratification: partition the store by EXACT-ALIVE
+    # count and run a second per-stratum compaction to the alive budget
+    # before the per-sample footprint ops (stage-1 candidate budgets then
+    # come from per-stratum candidate maxima).  Measured on v5e it is a
+    # wash for TensorVMSplit (119.1 vs 118.9 ms) and a regression for
+    # TensorCP (48.0 vs 32.8 ms): per-row gather/scatter cost is nearly
+    # width-flat (SCATTER_RECHECK_r03.txt), so total rows moved — which the
+    # looser stage-1 budgets increase — dominates what the tighter stage-2
+    # budget saves.  Default OFF; candidate-primary single-stage budgets
+    # are the measured optimum.
+    stratify_alive: int = 0
     n_devices: int = 0  # 0 = all visible devices (ray-batch DP)
     distributed: bool = False  # jax.distributed.initialize() (multi-host)
     profile_dir: str = ""  # dump a jax.profiler trace here when set

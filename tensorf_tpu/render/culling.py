@@ -440,3 +440,34 @@ def stratify_rays(counts: np.ndarray, quantiles=None,
         else:
             i += 1
     return strata, budgets
+
+
+def stratify_rays_joint(cand_counts: np.ndarray, alive_counts: np.ndarray,
+                        quantiles=None, min_frac: float = 0.01):
+    """Alive-primary stratification: strata partitioned by EXACT-ALIVE
+    count, with per-stratum two-stage budgets.
+
+    The wide per-sample rows (density footprint gather + its backward
+    scatter, the step's dominant traffic) run at the stage-2 alive budget
+    K2, while the stage-1 candidate compaction moves only cheap 64B rows
+    (measured ~8x cheaper per row, SCATTER_RECHECK_r03.txt / bench_ops) —
+    so the DP partition should minimize E[K2], not E[K1].  Partitioning by
+    alive count does exactly that; each stratum's K1 is then the measured
+    candidate maximum *within* the stratum, so BOTH compaction stages are
+    exact by construction (no overflow at the measuring mask state).
+
+    Returns (strata, cand_budgets K1, alive_budgets K2); alive budget is
+    None where it does not undercut the stratum's candidate budget (single
+    stage).  Reference economy matched: tensorBase.py:360-375 pays each
+    ray's own alive count on every per-sample op.
+    """
+    alive_counts = np.asarray(alive_counts)
+    cand_counts = np.asarray(cand_counts)
+    strata, alive_budgets = stratify_rays(
+        alive_counts, quantiles=quantiles, min_frac=min_frac
+    )
+    cand_budgets = [_budget_hint(cand_counts[sel].max()) for sel in strata]
+    out_alive = [
+        a if a < c else None for a, c in zip(alive_budgets, cand_budgets)
+    ]
+    return strata, cand_budgets, out_alive

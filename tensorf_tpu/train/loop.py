@@ -57,13 +57,13 @@ from ..parallel.mesh import (
 )
 from ..models.alpha_mask import coarse_gate_valid
 from ..render.culling import (
-    _budget_hint,
     compute_alpha_grid,
     count_ray_candidates,
     count_ray_candidates_and_alive,
     filter_rays_alpha,
     filter_rays_bbox,
     stratify_rays,
+    stratify_rays_joint,
     update_alpha_mask,
 )
 from ..utils.ckpt import load_checkpoint, save_checkpoint
@@ -390,12 +390,23 @@ def reconstruction(cfg: TrainConfig) -> str:
                 use_coarse=False,
             )
             alive_counts = None
-        strata, budgets = stratify_rays(
-            counts,
-            quantiles=(
-                tuple(cfg.strata_quantiles) if cfg.strata_quantiles else None
-            ),
+        quantiles = (
+            tuple(cfg.strata_quantiles) if cfg.strata_quantiles else None
         )
+        if alive_counts is not None and bool(cfg.stratify_alive):
+            # Alive-primary joint stratification: strata partitioned by
+            # exact-alive count (what the expensive wide rows pay), each
+            # stratum's candidate budget from its measured candidate max —
+            # both compaction stages exact by construction.  Sizing stage 2
+            # by per-stratum alive max over CANDIDATE strata instead leaves
+            # it inert (the max ≈ the candidate budget in every stratum:
+            # BENCH_PARAMS r3 alive_budgets came out all-zero).
+            strata, budgets, alive_hints = stratify_rays_joint(
+                counts, alive_counts, quantiles=quantiles
+            )
+        else:
+            strata, budgets = stratify_rays(counts, quantiles=quantiles)
+            alive_hints = None
         if len(strata) * quota_round > local_batch:
             print(f"[{iteration}] stratify skipped (batch too small)")
             deactivate()
@@ -406,16 +417,14 @@ def reconstruction(cfg: TrainConfig) -> str:
         strata_budgets = [
             b if b < state.n_samples else None for b in budgets
         ]
-        # Stage-2 exact-alive budgets: worth a second compaction only when
-        # the stratum's padded alive maximum sits BELOW its candidate
-        # budget (the compaction's own row traffic must be amortized)
-        if alive_counts is not None and bool(cfg.stratify_alive):
-            strata_alive_budgets = []
-            for sel, b in zip(strata, strata_budgets):
-                hint = _budget_hint(alive_counts[sel].max())
-                strata_alive_budgets.append(
-                    hint if (b is not None and hint < b) else None
-                )
+        # Stage-2 exact-alive budgets only where they undercut the (still
+        # active) candidate budget — the compaction's own row traffic must
+        # be amortized
+        if alive_hints is not None:
+            strata_alive_budgets = [
+                a if (a is not None and b is not None and a < b) else None
+                for a, b in zip(alive_hints, strata_budgets)
+            ]
             if not any(a is not None for a in strata_alive_budgets):
                 strata_alive_budgets = None
         else:
@@ -424,13 +433,18 @@ def reconstruction(cfg: TrainConfig) -> str:
         sampler = StratifiedSampler(
             strata, quotas, cfg.seed + iteration + jax.process_index()
         )
+        alive_note = (
+            f", mean alive {alive_counts.mean():.1f}"
+            if alive_counts is not None
+            else ""
+        )
         print(
             f"[{iteration}] stratified ray store: sizes "
             f"{[s.size for s in strata]}, quotas {quotas}, "
             f"budgets {strata_budgets}, alive budgets "
             f"{strata_alive_budgets} (lattice {state.n_samples}, "
-            f"mean count {counts.mean():.1f}, p99.9 "
-            f"{np.quantile(counts, 0.999):.0f})"
+            f"mean cand {counts.mean():.1f}, p99.9 "
+            f"{np.quantile(counts, 0.999):.0f}{alive_note})"
         )
         return True
 

@@ -263,6 +263,75 @@ def test_stratify_rays_budgets_cover_members(rng):
     assert all(s.size >= max(1, int(0.01 * counts.size)) for s in strata)
 
 
+def test_stratify_rays_joint_budgets_cover_both_counts(rng):
+    """Alive-primary joint strata: a partition, alive budgets tight on the
+    stratum's alive max, candidate budgets covering the stratum's candidate
+    max (both stages exact by construction)."""
+    from tensorf_tpu.render.culling import stratify_rays_joint
+
+    alive = np.concatenate([
+        np.zeros(600, np.int64),
+        rng.integers(1, 50, 250),
+        rng.integers(50, 300, 150),
+    ])
+    # candidates exceed alive by a variable dilated-shell margin
+    cand = alive + rng.integers(0, 120, alive.size)
+    strata, cand_budgets, alive_budgets = stratify_rays_joint(
+        cand, alive, quantiles=(0.5, 0.8, 0.95)
+    )
+    got = np.concatenate(strata)
+    assert np.sort(got).tolist() == list(range(alive.size))  # a partition
+    for sel, cb, ab in zip(strata, cand_budgets, alive_budgets):
+        assert cand[sel].max() <= cb and cb % 32 == 0
+        if ab is not None:
+            assert alive[sel].max() <= ab < cb and ab % 32 == 0
+    # the joint partition's stage-2 economy: expected alive budget sits at
+    # or below the single-statistic candidate partition's expected budget
+    c_strata, c_budgets = stratify_rays(cand, quantiles=(0.5, 0.8, 0.95))
+    e_joint = sum(
+        (ab if ab is not None else cb) * s.size
+        for s, cb, ab in zip(strata, cand_budgets, alive_budgets)
+    )
+    e_cand = sum(b * s.size for s, b in zip(c_strata, c_budgets))
+    assert e_joint <= e_cand
+
+
+def test_joint_strata_render_exact(setup, rng):
+    """Rendering each joint stratum at its (cand, alive) budgets equals the
+    unbudgeted masked render on that stratum."""
+    from tensorf_tpu.render.culling import (
+        count_ray_candidates_and_alive,
+        stratify_rays_joint,
+    )
+
+    model, params, mask = setup
+    rays = _rays(rng, 128)
+    cand, alive = count_ray_candidates_and_alive(
+        rays, mask, np.asarray(AABB), STEP, (2.0, 6.0), n_samples=NS
+    )
+    strata, cand_budgets, alive_budgets = stratify_rays_joint(
+        cand, alive, quantiles=(0.5,)
+    )
+    kw = dict(
+        aabb=AABB, step_size=STEP, n_samples=NS,
+        is_train=False, white_bg=True, ndc_ray=False,
+    )
+    for sel, cb, ab in zip(strata, cand_budgets, alive_budgets):
+        sub = jnp.asarray(rays[sel])
+        full = render_rays(
+            model, CFG, params, mask, sub, None, FreeMasks(), **kw
+        )
+        out = render_rays(
+            model, CFG, params, mask, sub, None, FreeMasks(),
+            sample_budget=(cb if cb < NS else None), budget_mode="cand",
+            alive_budget=ab, **kw
+        )
+        assert float(out.budget_overflow_frac) == 0.0
+        np.testing.assert_allclose(
+            np.asarray(out.rgb), np.asarray(full.rgb), rtol=1e-5, atol=1e-5
+        )
+
+
 def test_stratified_sampler_draws_from_own_stratum():
     strata = [np.arange(0, 100), np.arange(100, 160), np.arange(160, 200)]
     quotas = [16, 8, 8]
