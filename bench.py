@@ -151,8 +151,18 @@ def _make_step(model_name, grid, mask_on, batch, params_bench):
     else:
         strata_alive = None
         pf = params_bench.get("prefilter") or DEFAULT_PARAMS["prefilter"]
-        strata_budgets = None
-        quotas = [batch]
+        ps = pf.get("strata")
+        if ps:
+            # measured in-bbox stratification of the warm-up phase
+            # (train/loop.py::restratify mask-free branch)
+            strata_budgets = tuple(
+                int(b) if int(b) < n_samples else None
+                for b in ps["budgets"]
+            )
+            quotas = [int(q) for q in ps["quotas"]]
+        else:
+            strata_budgets = None
+            quotas = [batch]
 
     statics = TrainStatics(
         n_samples=n_samples,
@@ -173,7 +183,7 @@ def _make_step(model_name, grid, mask_on, batch, params_bench):
         strata_budgets=strata_budgets,
         strata_alive_budgets=strata_alive,
         sample_budget=(
-            None if mask_on
+            None if (mask_on or strata_budgets is not None)
             else min(int(pf["prefilter_budget"]), n_samples - 1)
         ),
         # mask-era split path: appearance gathered only for the top-K
@@ -194,7 +204,7 @@ def _make_step(model_name, grid, mask_on, batch, params_bench):
     ids_np = [
         rng.integers(0, store_n, size=(q,)).astype(np.int32) for q in quotas
     ]
-    if mask_on:
+    if strata_budgets is not None:
         ids = tuple(jnp.asarray(i) for i in ids_np)
     else:
         ids = jnp.asarray(ids_np[0])
@@ -382,9 +392,16 @@ def main():
                 _floor_ms(roof, strata, ns, shade_top_k=SHADE_TOP_K), 1
             )
         else:
-            k = min(int(pf["prefilter_budget"]), ns)
+            ps = pf.get("strata")
+            if ps:
+                pstrata = [
+                    (int(q), int(b) if int(b) < ns else None)
+                    for q, b in zip(ps["quotas"], ps["budgets"])
+                ]
+            else:
+                pstrata = [(batch, min(int(pf["prefilter_budget"]), ns))]
             floors[name] = round(
-                _floor_ms(roof, [(batch, k)], ns, shade_top_k=None), 1
+                _floor_ms(roof, pstrata, ns, shade_top_k=None), 1
             )
     vs_roofline = {
         name: round(floors[name] / (t * 1e3), 3)

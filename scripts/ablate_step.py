@@ -94,22 +94,35 @@ def main():
         pf = params_bench.get("prefilter") or bench.DEFAULT_PARAMS[
             "prefilter"
         ]
-        strata = [
-            (batch, min(int(pf["prefilter_budget"]), n_samples - 1), None)
-        ]
+        ps = pf.get("strata")
+        if ps:
+            strata = [
+                (int(q), int(b) if int(b) < n_samples else None, None)
+                for q, b in zip(ps["quotas"], ps["budgets"])
+            ]
+        else:
+            strata = [
+                (batch, min(int(pf["prefilter_budget"]), n_samples - 1),
+                 None)
+            ]
+
+    def _barrier(o):
+        # scalar device_get is the only reliable barrier on axon; sum the
+        # first leaf (one XLA program -> completion is all-or-nothing)
+        leaf = jax.tree_util.tree_leaves(o)[0]
+        jax.device_get(jnp.sum(leaf))
 
     def timed(f, *a, iters=args.iters):
-        o = f(*a)
-        jax.device_get(jnp.sum(o[0] if isinstance(o, tuple) else o))
+        _barrier(f(*a))
         tic = time.perf_counter()
         for _ in range(iters):
             o = f(*a)
-        jax.device_get(jnp.sum(o[0] if isinstance(o, tuple) else o))
+        _barrier(o)
         t1 = time.perf_counter() - tic
         tic = time.perf_counter()
         for _ in range(2 * iters):
             o = f(*a)
-        jax.device_get(jnp.sum(o[0] if isinstance(o, tuple) else o))
+        _barrier(o)
         return ((time.perf_counter() - tic) - t1) / iters
 
     def render_strata(params, rays, *, shade_top_k, budgets=None,
@@ -146,6 +159,13 @@ def main():
         ),
         "fwd_shade1": jax.jit(
             lambda p, r: render_strata(p, r, shade_top_k=1)
+        ),
+        "fwd_bwd_shade1": jax.jit(
+            jax.grad(
+                lambda p, r: jnp.sum(
+                    render_strata(p, r, shade_top_k=1)
+                ),
+            )
         ),
         "fwd_nobudget": jax.jit(
             lambda p, r: render_strata(

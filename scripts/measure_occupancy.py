@@ -199,6 +199,12 @@ def main():
         near, far, init_geom.step_size, init_geom.n_samples, None,
     )
     a_counts = np.asarray(jnp.sum(valid, axis=-1))
+    # in-bbox stratification of the warm-up phase (train/loop.py
+    # ::restratify mask-free branch): per-stratum budgets from the same
+    # DP partition the loop uses, so bench.py charges the real phase-A
+    # stratified step.
+    a_strata, a_budgets = stratify_rays(a_counts)
+    a_quotas = allocate_quotas([s.size for s in a_strata], batch, 8)
     stats["prefilter"] = {
         "n_samples_lattice": init_geom.n_samples,
         "mean_in_bbox": round(float(a_counts.mean()), 1),
@@ -206,6 +212,12 @@ def main():
         "prefilter_budget": int(
             np.ceil(np.percentile(a_counts, 99.9) / 32) * 32
         ),
+        "strata": {
+            "sizes": [int(s.size) for s in a_strata],
+            "quotas": a_quotas,
+            "budgets": [int(b) for b in a_budgets],
+            "batch": batch,
+        },
     }
 
     with open(args.out, "w") as f:

@@ -145,6 +145,11 @@ class TrainConfig:
     # Stratified serving: bucket eval/render rays by candidate count and
     # render each bucket at its own budget (exact by construction).
     stratify_render: int = 1
+    # Stratify the mask-free prefilter phase by per-ray in-bbox chord
+    # counts (closed-form from static geometry, one pass at startup): the
+    # warm-up sub-batches then pay ~the mean in-bbox count instead of the
+    # p99.9 the single prefilter_budget must cover.
+    stratify_prefilter: int = 1
     # Alive-primary joint stratification: partition the store by EXACT-ALIVE
     # count and run a second per-stratum compaction to the alive budget
     # before the per-sample footprint ops (stage-1 candidate budgets then

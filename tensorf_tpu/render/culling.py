@@ -298,6 +298,57 @@ def count_ray_candidates(
     return np.concatenate(out, axis=0)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("n_samples", "step_size", "near", "far"),
+)
+def _inbbox_counts(rays, aabb, *, n_samples, step_size, near, far):
+    _, _, valid = sample_along_rays(
+        rays[:, :3], rays[:, 3:6], aabb, near, far, step_size, n_samples,
+        None,
+    )
+    return jnp.sum(valid.astype(jnp.int32), axis=-1)
+
+
+def count_ray_inbbox(
+    all_rays,
+    aabb,
+    step_size: float,
+    near_far=(2.0, 6.0),
+    n_samples: int = 256,
+    chunk: int = 51200,
+) -> np.ndarray:
+    """Per-ray in-bbox lattice sample counts (no alpha mask needed).
+
+    The mask-free analog of count_ray_candidates for the prefilter phase:
+    before the first alpha-mask event every in-bbox sample is alive, so
+    the per-ray chord length through the bbox IS the candidate count.  It
+    depends only on the (static) ray geometry and aabb — one chunked pass
+    at startup stratifies the whole warm-up phase (reference economy:
+    tensorBase.py:336-344 pays each ray its own in-bbox sample count).
+    """
+    rays = np.asarray(all_rays, np.float32)
+    aabb_j = jnp.asarray(aabb, jnp.float32).reshape(2, 3)
+    out = []
+    for start in range(0, rays.shape[0], chunk):
+        part = rays[start : start + chunk]
+        n = part.shape[0]
+        if n < chunk:
+            part = np.concatenate(
+                [part, np.broadcast_to(part[-1:], (chunk - n, 6))], 0
+            )
+        out.append(
+            np.asarray(
+                _inbbox_counts(
+                    jnp.asarray(part), aabb_j,
+                    n_samples=n_samples, step_size=float(step_size),
+                    near=float(near_far[0]), far=float(near_far[1]),
+                )
+            )[:n]
+        )
+    return np.concatenate(out, axis=0)
+
+
 def count_ray_candidates_and_alive(
     all_rays,
     alpha_mask: AlphaGridMask,

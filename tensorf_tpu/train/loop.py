@@ -60,6 +60,7 @@ from ..render.culling import (
     compute_alpha_grid,
     count_ray_candidates,
     count_ray_candidates_and_alive,
+    count_ray_inbbox,
     filter_rays_alpha,
     filter_rays_bbox,
     stratify_rays,
@@ -365,10 +366,28 @@ def reconstruction(cfg: TrainConfig) -> str:
                     cfg.seed + iteration + jax.process_index(),
                 )
 
-        if not cfg.stratify or state.alpha_mask is None or ndc_ray:
+        if not cfg.stratify or ndc_ray:
             deactivate()
             return False
-        if coarse_ok():
+        if state.alpha_mask is None:
+            # Mask-free prefilter phase: before the first alpha-mask event
+            # every in-bbox sample is alive, so the per-ray bbox chord
+            # length is the exact candidate count — stratify the store by
+            # it so phase-A sub-batches pay ~the mean in-bbox count
+            # instead of every ray paying the p99.9 prefilter budget
+            # (counts depend only on static geometry: one pass, no mask).
+            if not bool(cfg.stratify_prefilter):
+                deactivate()
+                return False
+            counts = count_ray_inbbox(
+                allrays,
+                state.geometry.aabb_np,
+                state.geometry.step_size,
+                near_far,
+                n_samples=state.n_samples,
+            )
+            alive_counts = None
+        elif coarse_ok():
             counts, alive_counts = count_ray_candidates_and_alive(
                 allrays,
                 state.alpha_mask,
@@ -448,8 +467,9 @@ def reconstruction(cfg: TrainConfig) -> str:
         )
         return True
 
-    if state.alpha_mask is not None:  # resumed mid-schedule
-        restratify(0)
+    # partition the store up front: by in-bbox chord counts in the
+    # prefilter phase, by mask candidate counts when resumed mid-schedule
+    restratify(0)
     step_fn = make_train_step(model, model_cfg, build_statics(), optimizer)
 
     def make_handle() -> RendererHandle:

@@ -332,6 +332,59 @@ def test_joint_strata_render_exact(setup, rng):
         )
 
 
+def test_inbbox_strata_render_exact(setup, rng):
+    """Mask-free (prefilter-phase) stratification: rendering each in-bbox
+    stratum at its chord-count budget equals the unbudgeted render — the
+    phase-A analog of the candidate-budget exactness contract."""
+    from tensorf_tpu.render.culling import count_ray_inbbox
+
+    model, params, _ = setup
+    rays = _rays(rng, 128)
+    counts = count_ray_inbbox(
+        rays, np.asarray(AABB), STEP, (2.0, 6.0), n_samples=NS
+    )
+    assert counts.max() > counts.min(), "need count spread for strata"
+    strata, budgets = stratify_rays(counts, quantiles=(0.5,))
+    kw = dict(
+        aabb=AABB, step_size=STEP, n_samples=NS,
+        is_train=False, white_bg=True, ndc_ray=False,
+    )
+    for sel, b in zip(strata, budgets):
+        assert counts[sel].max() <= b
+        sub = jnp.asarray(rays[sel])
+        full = render_rays(
+            model, CFG, params, None, sub, None, FreeMasks(), **kw
+        )
+        out = render_rays(
+            model, CFG, params, None, sub, None, FreeMasks(),
+            sample_budget=(b if b < NS else None), budget_mode="cand", **kw
+        )
+        assert float(out.budget_overflow_frac) == 0.0
+        np.testing.assert_allclose(
+            np.asarray(out.rgb), np.asarray(full.rgb), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_count_ray_inbbox_matches_render_valid(rng):
+    """count_ray_inbbox equals the per-ray valid-sample count the renderer
+    sees (same sampler, no jitter), up to the ±1 FP boundary jitter a
+    different batch shape can introduce for samples landing exactly on a
+    bbox face (_budget_hint's +8 slack exists for exactly this)."""
+    from tensorf_tpu.ops.rays import sample_along_rays
+    from tensorf_tpu.render.culling import count_ray_inbbox
+
+    rays = _rays(rng, 96)
+    counts = count_ray_inbbox(
+        rays, np.asarray(AABB), STEP, (2.0, 6.0), n_samples=NS, chunk=40
+    )
+    r = jnp.asarray(rays)
+    _, _, valid = sample_along_rays(
+        r[:, :3], r[:, 3:6], AABB, 2.0, 6.0, STEP, NS, None
+    )
+    direct = np.asarray(jnp.sum(valid.astype(jnp.int32), axis=-1))
+    assert np.abs(counts - direct).max() <= 1
+
+
 def test_stratified_sampler_draws_from_own_stratum():
     strata = [np.arange(0, 100), np.arange(100, 160), np.arange(160, 200)]
     quotas = [16, 8, 8]
