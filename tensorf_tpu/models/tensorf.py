@@ -512,14 +512,29 @@ class TensorVM(FieldModel):
 
     @staticmethod
     def init(key, cfg: ModelConfig, grid_size) -> Dict:
-        res = grid_size[0]
+        # per-axis factor tuples (not one stacked cubic block) so shrink
+        # can crop each axis independently — the reference's own stacked
+        # layout is why its TensorVM.shrink is broken (tensoRF.py:137)
         r_total = cfg.app_n_comp[0] + cfg.density_n_comp[0]
         k1, k2, k3, k4 = jax.random.split(key, 4)
-        plane = 0.1 * jax.random.normal(k1, (3, res, res, r_total))
-        line = 0.1 * jax.random.normal(k2, (3, res, r_total))
+        pkeys = jax.random.split(k1, 3)
+        lkeys = jax.random.split(k2, 3)
+        planes, lines = [], []
+        for i in range(3):
+            m0, m1 = MAT_MODE[i]
+            planes.append(
+                0.1
+                * jax.random.normal(
+                    pkeys[i], (grid_size[m1], grid_size[m0], r_total)
+                )
+            )
+            lines.append(
+                0.1
+                * jax.random.normal(lkeys[i], (grid_size[VEC_MODE[i]], r_total))
+            )
         return {
-            "plane": plane,
-            "line": line,
+            "plane": tuple(planes),
+            "line": tuple(lines),
             "basis": _basis_init(k3, cfg.app_n_comp[0] * 3, cfg.app_dim),
             "render": init_shading(k4, cfg),
         }
@@ -529,13 +544,13 @@ class TensorVM(FieldModel):
         ps, ls = [], []
         for i in range(3):
             m0, m1 = MAT_MODE[i]
-            ps.append(grid_sample_2d(params["plane"][i, :, :, lo:hi], xyz[..., (m0, m1)]))
-            ls.append(grid_sample_1d(params["line"][i, :, lo:hi], xyz[..., VEC_MODE[i]]))
+            ps.append(grid_sample_2d(params["plane"][i][:, :, lo:hi], xyz[..., (m0, m1)]))
+            ls.append(grid_sample_1d(params["line"][i][:, lo:hi], xyz[..., VEC_MODE[i]]))
         return ps, ls
 
     @staticmethod
     def density_feature(cfg, params, xyz, mask) -> jax.Array:
-        r_total = params["plane"].shape[-1]
+        r_total = params["plane"][0].shape[-1]
         ps, ls = TensorVM._gather(cfg, params, xyz, r_total - cfg.density_n_comp[0], r_total)
         feat = jnp.zeros(xyz.shape[:-1], dtype=xyz.dtype)
         for p, l in zip(ps, ls):
@@ -578,13 +593,13 @@ class TensorVM(FieldModel):
         feat = jnp.zeros(xyz.shape[:-1], dtype=xyz.dtype)
         for i in range(3):
             m0, m1 = MAT_MODE[i]
-            plane = params["plane"][i, :, :, -rd:]
+            plane = params["plane"][i][:, :, -rd:]
             H, W, _ = plane.shape
             p = footprint_sample_2d(
                 make_footprint_2d(plane), H, W, xyz[..., (m0, m1)]
             )
             l = _sample_line_packed(
-                params["line"][i, :, -rd:], xyz[..., VEC_MODE[i]]
+                params["line"][i][:, -rd:], xyz[..., VEC_MODE[i]]
             )
             feat = feat + jnp.sum(p * l, axis=-1)
         return feat
@@ -595,13 +610,13 @@ class TensorVM(FieldModel):
         coefs = []
         for i in range(3):
             m0, m1 = MAT_MODE[i]
-            plane = params["plane"][i, :, :, :ra]
+            plane = params["plane"][i][:, :, :ra]
             H, W, _ = plane.shape
             p = footprint_sample_2d(
                 make_footprint_2d(plane), H, W, xyz[..., (m0, m1)]
             )
             l = _sample_line_packed(
-                params["line"][i, :, :ra], xyz[..., VEC_MODE[i]]
+                params["line"][i][:, :ra], xyz[..., VEC_MODE[i]]
             )
             coefs.append(p * l)
         return jnp.concatenate(coefs, axis=-1) @ params["basis"]
@@ -615,7 +630,14 @@ class TensorVM(FieldModel):
 
     @staticmethod
     def density_l1(params) -> jax.Array:
-        return jnp.mean(jnp.abs(params["plane"])) + jnp.mean(jnp.abs(params["line"]))
+        # mean |.| over ALL factor entries (reference density_L1 semantics)
+        # computed as weighted sums so ragged per-axis shapes keep the
+        # same value the stacked layout had
+        p_sum = sum(jnp.sum(jnp.abs(p)) for p in params["plane"])
+        p_n = sum(p.size for p in params["plane"])
+        l_sum = sum(jnp.sum(jnp.abs(l)) for l in params["line"])
+        l_n = sum(l.size for l in params["line"])
+        return p_sum / p_n + l_sum / l_n
 
     @staticmethod
     def tv_density(params) -> jax.Array:
@@ -627,23 +649,54 @@ class TensorVM(FieldModel):
 
     @staticmethod
     def upsample(cfg, params, grid_size) -> Dict:
-        res = grid_size[0]
+        """Bilinear align_corners upsample (reference tensoRF.py:119-128)."""
         out = dict(params)
-        out["plane"] = jnp.stack(
-            [
-                resize_bilinear_align_corners(params["plane"][i], res, res)
-                for i in range(3)
-            ]
-        )
-        out["line"] = jnp.stack(
-            [resize_linear_align_corners(params["line"][i], res) for i in range(3)]
-        )
+        planes, lines = [], []
+        for i in range(3):
+            m0, m1 = MAT_MODE[i]
+            planes.append(
+                resize_bilinear_align_corners(
+                    params["plane"][i], grid_size[m1], grid_size[m0]
+                )
+            )
+            lines.append(
+                resize_linear_align_corners(
+                    params["line"][i], grid_size[VEC_MODE[i]]
+                )
+            )
+        out["plane"] = tuple(planes)
+        out["line"] = tuple(lines)
+        return out
+
+    @staticmethod
+    def shrink(cfg, params, t_l, b_r) -> Dict:
+        """Voxel-aligned crop of the shared factors.
+
+        The reference's own TensorVM.shrink is broken (tensoRF.py:137
+        slices a stacked cubic block with per-axis bounds, which cannot
+        type-check); this implements the evidently *intended* semantics —
+        the per-axis crop its TensorVMSplit sibling performs
+        (tensoRF.py:290-314) — which the per-axis tuple layout makes
+        directly expressible.
+        """
+        out = dict(params)
+        planes, lines = [], []
+        for i in range(3):
+            m0, m1 = MAT_MODE[i]
+            v = VEC_MODE[i]
+            planes.append(
+                params["plane"][i][t_l[m1] : b_r[m1], t_l[m0] : b_r[m0], :]
+            )
+            lines.append(params["line"][i][t_l[v] : b_r[v], :])
+        out["plane"] = tuple(planes)
+        out["line"] = tuple(lines)
         return out
 
     @staticmethod
     def grid_size_of(params) -> Tuple[int, int, int]:
-        res = params["line"].shape[1]
-        return (res, res, res)
+        # line i spans grid axis VEC_MODE[i]; VEC_MODE = (2, 1, 0).
+        ls = [params["line"][i].shape[0] for i in range(3)]
+        return (ls[2], ls[1], ls[0])
 
 
 FIELD_MODELS = {

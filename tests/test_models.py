@@ -141,6 +141,47 @@ def test_shrink_crops_factors():
     )
 
 
+def test_legacy_tensorvm_shrink_and_upsample(rng):
+    """Legacy TensorVM (shared factors): the per-axis tuple layout makes
+    shrink expressible — the reference's own stacked-cubic TensorVM.shrink
+    is broken (tensoRF.py:137); this pins the intended per-axis-crop
+    semantics plus non-cubic init/upsample/grid_size_of consistency."""
+    cfg = CFG_VM.replace(
+        model_name="TensorVM", density_n_comp=(4,), app_n_comp=(6,)
+    )
+    model = FIELD_MODELS["TensorVM"]
+    params = model.init(jax.random.PRNGKey(7), cfg, GRID)
+    assert model.grid_size_of(params) == GRID
+
+    t_l, b_r = (1, 2, 3), (8, 10, 12)
+    sh = model.shrink(cfg, params, t_l, b_r)
+    assert model.grid_size_of(sh) == (7, 8, 9)
+    # plane 0 covers axes (0,1): rows = axis1 crop, cols = axis0 crop
+    r_total = cfg.density_n_comp[0] + cfg.app_n_comp[0]
+    assert sh["plane"][0].shape == (8, 7, r_total)
+    np.testing.assert_array_equal(
+        np.asarray(sh["plane"][0]), np.asarray(params["plane"][0])[2:10, 1:8]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sh["line"][0]), np.asarray(params["line"][0])[3:12]
+    )
+
+    # node-preserving upsample keeps features at original grid nodes
+    new_grid = tuple(2 * g - 1 for g in GRID)
+    up = model.upsample(cfg, params, new_grid)
+    assert model.grid_size_of(up) == new_grid
+    g = np.asarray(GRID, np.float32)
+    xyz = rng.uniform(-1, 1, size=(17, 3)).astype(np.float32)
+    snapped = (
+        np.round((xyz + 1) / 2 * (g - 1)) / (g - 1) * 2 - 1
+    ).astype(np.float32)
+    d0 = model.density_feature(cfg, params, jnp.asarray(snapped), None)
+    d1 = model.density_feature(cfg, up, jnp.asarray(snapped), None)
+    np.testing.assert_allclose(
+        np.asarray(d0), np.asarray(d1), rtol=1e-3, atol=1e-4
+    )
+
+
 def test_regularizers_match_reference_semantics(rng):
     cfg = CFG_VM
     model = FIELD_MODELS["TensorVMSplit"]
