@@ -293,19 +293,28 @@ def render_chunked_stratified(
     chunk: int = 8192,
     masks: FreeMasks = FreeMasks(),
     use_coarse_gate: bool = True,
+    alive_stage: bool = False,
 ):
     """Candidate-count-stratified eval rendering (round-3 serving path).
 
     Serving frames are dominated by rays that hit little or nothing (the
-    measured unfiltered mean candidate count is ~48 vs a p99.9 fixed
-    budget of 416 — BENCH_PARAMS.json ≈ 8x headroom): count candidates
-    per ray (one cheap strided-gate pass), sort rays by count, render
-    each budget-tier bucket at its own static ``cand``-mode budget —
-    exact by construction (tier >= every member's candidate count; eval
-    is deterministic, no jitter) — and scatter results back to pixel
-    order.  Replaces the reference's uniform-chunk driver economy
-    (renderer.py:13-26) where torch's dynamic compaction pays per-ray
-    cost automatically.
+    measured unfiltered mean candidate count is ~48-72 vs a p99.9 fixed
+    budget of 416-448 — BENCH_PARAMS.json): count candidates per ray (one
+    strided coarse-gate pass), sort rays by count, composite the
+    zero-candidate majority to background on host, render each budget-tier
+    bucket at its own static ``cand``-mode budget — exact by construction
+    (tier >= every member's candidate count; eval is deterministic, no
+    jitter) — and scatter results back to pixel order.  Replaces the
+    reference's uniform-chunk driver economy (renderer.py:13-26) where
+    torch's dynamic compaction pays per-ray cost automatically.
+
+    Measured chunk economics on v5e (scripts/ablate_render.py): a 32k-ray
+    chunk costs ~145 ms of tier-independent full-lattice work (sampling,
+    gate probes, top-k compaction) + ~1.6 ms per tier unit — hence the
+    zero-skip, the per-bucket chunk-size ladder (a bucket of 3k rays must
+    not pad to a 32k chunk), and the coarse-only count pass (the exact
+    gate quadruples count-pass rows; ``alive_stage=True`` restores the
+    exact count + per-bucket alive second stage, measured marginal).
     """
     # no import cycle: culling imports render.volume only
     from .culling import (
@@ -316,7 +325,7 @@ def render_chunked_stratified(
     rays = np.asarray(rays, dtype=np.float32)
     M = rays.shape[0]
     near_far = tuple(float(v) for v in cfg.near_far)
-    if use_coarse_gate:
+    if use_coarse_gate and alive_stage:
         counts, alive_counts = count_ray_candidates_and_alive(
             rays,
             alpha_mask,
@@ -335,7 +344,7 @@ def render_chunked_stratified(
             near_far,
             n_samples=n_samples,
             chunk=max(chunk, 32768),
-            use_coarse=False,
+            use_coarse=use_coarse_gate,
         )
         alive_counts = None
     order = np.argsort(counts, kind="stable")
@@ -346,7 +355,17 @@ def render_chunked_stratified(
     depth_sorted = np.empty((M,), np.float32)
     total_valid = 0
     max_overflow = 0.0
-    start = 0
+    # Zero-candidate rays (the majority of a serving frame: measured p50
+    # candidate count is 0, BENCH_PARAMS.json) render to pure background —
+    # acc == 0, every sigma gated off — so composite them on host for free
+    # instead of paying the full-lattice fixed work (sampling, gate
+    # probes, compaction) a rendered chunk costs regardless of its tier.
+    start = int(np.searchsorted(sorted_counts, 0, side="right"))
+    if start > 0:
+        sel = order[:start]
+        rgb_sorted[:start] = 1.0 if white_bg else 0.0
+        # depth convention of _composite: (1-acc) * rays[:, -1] with acc=0
+        depth_sorted[:start] = rays[sel, -1]
     for tier in tiers + [None]:  # None = full lattice for the tail
         if start >= M:
             break
@@ -381,13 +400,26 @@ def render_chunked_stratified(
             use_coarse_gate=use_coarse_gate,
             alive_budget=alive_tier,
         )
+        # chunk-size ladder: the tier-independent per-chunk cost scales
+        # with chunk x lattice, so a small bucket must not pad to the
+        # full chunk — snap to the smallest ladder size covering the
+        # bucket (>= 2048 to amortize dispatch; few static shapes keep
+        # the compiled-program set bounded)
+        n_b = end - start
+        chunk_b = chunk
+        for c in (2048, 8192):
+            if c >= chunk:
+                break
+            if n_b <= c:
+                chunk_b = c
+                break
         rgb_b, depth_b, nv, of = render_chunked(
             fn,
             params,
             alpha_mask,
             rays[order[start:end]],
             aabb,
-            chunk=chunk,
+            chunk=chunk_b,
             masks=masks,
         )
         rgb_sorted[start:end] = rgb_b

@@ -470,6 +470,18 @@ def test_render_chunked_stratified_matches_uniform(setup, rng):
     counts by construction)."""
     model, params, mask = setup
     rays = _rays(rng, 300)
+    # include rays that miss the scene entirely (zero candidates): the
+    # stratified driver composites those to background on host — the
+    # measured-majority fast path of a serving frame
+    miss = _rays(rng, 40)
+    miss[:, 3:6] = -miss[:, 3:6]  # point away from the scene
+    rays = np.concatenate([rays, miss], axis=0)
+    from tensorf_tpu.render.culling import count_ray_candidates
+
+    counts = count_ray_candidates(
+        rays, mask, np.asarray(AABB), STEP, (2.0, 6.0), n_samples=NS
+    )
+    assert (counts == 0).any(), "test needs zero-candidate rays"
     fn = make_render_fn(
         model, CFG, step_size=STEP, n_samples=NS, white_bg=True,
         ndc_ray=False,
