@@ -92,16 +92,18 @@ def load_params():
 
 
 def _strata_for(params_bench, n_samples):
-    """(quota, cand_budget, alive_budget) triples for the mask-era
-    stratified step; budgets are capped at the lattice (None = unbudgeted
-    stratum; alive None = single-stage)."""
+    """(quota, cand_budget, alive_budget, n_eff) tuples for the mask-era
+    stratified step; budgets are capped at the per-stratum chord lattice
+    n_eff (None = unbudgeted stratum; alive None = single-stage)."""
     ts = params_bench.get("train_strata") or DEFAULT_PARAMS["train_strata"]
     alive = ts.get("alive_budgets") or [0] * len(ts["quotas"])
+    neff = ts.get("n_eff") or [n_samples] * len(ts["quotas"])
     out = []
-    for q, b, a in zip(ts["quotas"], ts["budgets"], alive):
-        cb = int(b) if int(b) < n_samples else None
+    for q, b, a, ne in zip(ts["quotas"], ts["budgets"], alive, neff):
+        ne = min(int(ne), n_samples)
+        cb = int(b) if int(b) < ne else None
         ab = int(a) if (cb is not None and 0 < int(a) < cb) else None
-        out.append((int(q), cb, ab))
+        out.append((int(q), cb, ab, ne))
     return out
 
 
@@ -141,23 +143,30 @@ def _make_step(model_name, grid, mask_on, batch, params_bench):
     lr_factor = 0.1 ** (1 / TOTAL_ITERS)
     optimizer, opt_state = make_optimizer(params, 0.02, 1e-3, lr_factor)
 
+    strata_ns = None
     if mask_on:
         strata = _strata_for(params_bench, n_samples)
-        strata_budgets = tuple(b for _, b, _ in strata)
-        strata_alive = tuple(a for _, _, a in strata)
+        strata_budgets = tuple(b for _, b, _, _ in strata)
+        strata_alive = tuple(a for _, _, a, _ in strata)
+        strata_ns = tuple(ne for _, _, _, ne in strata)
         if not any(a is not None for a in strata_alive):
             strata_alive = None
-        quotas = [q for q, _, _ in strata]
+        quotas = [q for q, _, _, _ in strata]
     else:
         strata_alive = None
         pf = params_bench.get("prefilter") or DEFAULT_PARAMS["prefilter"]
         ps = pf.get("strata")
         if ps:
             # measured in-bbox stratification of the warm-up phase
-            # (train/loop.py::restratify mask-free branch)
+            # (train/loop.py::restratify mask-free branch); the in-bbox
+            # count IS the chord, so each stratum renders unbudgeted on
+            # its chord-capped lattice (the cap is the compaction)
             strata_budgets = tuple(
                 int(b) if int(b) < n_samples else None
                 for b in ps["budgets"]
+            )
+            strata_ns = tuple(
+                min(int(b), n_samples) for b in ps["budgets"]
             )
             quotas = [int(q) for q in ps["quotas"]]
         else:
@@ -182,6 +191,7 @@ def _make_step(model_name, grid, mask_on, batch, params_bench):
         from_store=True,
         strata_budgets=strata_budgets,
         strata_alive_budgets=strata_alive,
+        strata_n_samples=strata_ns,
         sample_budget=(
             None if (mask_on or strata_budgets is not None)
             else min(int(pf["prefilter_budget"]), n_samples - 1)
@@ -306,16 +316,19 @@ def _roofline(batch=4096):
     return out
 
 
-def _floor_ms(roof, strata, n_lattice, *, shade_top_k, axes=3):
+def _floor_ms(roof, strata, n_lattice, *, shade_top_k, axes=3,
+              mask_on=True):
     """Roofline floor for one train step (VERDICT r2 #3): the time the
     measured gather/scatter ceilings allow for the rows the step MUST
     move, at the widths it moves them, ignoring every flop (MLP, line
     matmuls, top-k, Adam) and all fusion slack.
 
-    Per stratum of quota q at candidate budget K (None -> full lattice)
-    and exact-alive budget K2 (None -> K2 = K, single stage):
-      64B-class gathers:  q*lattice/4  coarse-gate probes (strided)
+    Per stratum of quota q at candidate budget K (None -> lattice),
+    exact-alive budget K2 (None -> K2 = K, single stage), and per-stratum
+    chord-capped lattice ne (defaults to the global lattice):
+      64B-class gathers:  q*ne/4       coarse-gate probes (strided)
                         + q*K          candidate-compaction row gather
+                          (only when the budget engages: K < ne)
                         + q*K          exact gate on kept rows
                         + q*K2         alive-compaction row gather (stage 2)
     split path (shade_top_k set):
@@ -336,9 +349,16 @@ def _floor_ms(roof, strata, n_lattice, *, shade_top_k, axes=3):
     t = 0.0
     for q, K, *rest in strata:
         K2 = rest[0] if rest else None
-        k = K if K is not None else n_lattice
-        k2 = K2 if (K2 is not None and K is not None) else k
-        t += q * (n_lattice / COARSE_STRIDE + 2 * k) / g64
+        ne = rest[1] if len(rest) > 1 and rest[1] else n_lattice
+        budget_on = K is not None and K < ne
+        k = K if budget_on else ne
+        k2 = K2 if (K2 is not None and budget_on) else k
+        if mask_on:
+            t += q * ne / COARSE_STRIDE / g64  # coarse probes
+            if budget_on:
+                t += q * (2 * k) / g64  # compaction gather + exact gate
+            else:
+                t += q * ne / g64  # exact gate over the capped lattice
         if k2 < k:
             t += q * k2 / g64  # stage-2 alive compaction row gather
         if shade_top_k is not None:
@@ -394,14 +414,16 @@ def main():
         else:
             ps = pf.get("strata")
             if ps:
+                # chord-capped lattices: in-bbox budgets ARE the lattices
                 pstrata = [
-                    (int(q), int(b) if int(b) < ns else None)
+                    (int(q), None, None, min(int(b), ns))
                     for q, b in zip(ps["quotas"], ps["budgets"])
                 ]
             else:
                 pstrata = [(batch, min(int(pf["prefilter_budget"]), ns))]
             floors[name] = round(
-                _floor_ms(roof, pstrata, ns, shade_top_k=None), 1
+                _floor_ms(roof, pstrata, ns, shade_top_k=None,
+                          mask_on=False), 1
             )
     vs_roofline = {
         name: round(floors[name] / (t * 1e3), 3)

@@ -74,7 +74,7 @@ def main():
 
     # count pass over the full frame (amortized part of stratified serving)
     tic = time.perf_counter()
-    counts, alive = count_ray_candidates_and_alive(
+    counts, alive, _ = count_ray_candidates_and_alive(
         rays, mask, geometry.aabb_np, geometry.step_size,
         tuple(float(v) for v in cfg.near_far), n_samples=geometry.n_samples,
         chunk=chunk,

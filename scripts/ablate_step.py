@@ -96,8 +96,9 @@ def main():
         ]
         ps = pf.get("strata")
         if ps:
+            # chord-capped lattices: in-bbox budgets ARE the lattices
             strata = [
-                (int(q), int(b) if int(b) < n_samples else None, None)
+                (int(q), None, None, min(int(b), n_samples))
                 for q, b in zip(ps["quotas"], ps["budgets"])
             ]
         else:
@@ -130,12 +131,13 @@ def main():
         """Concatenated per-stratum renders (mirrors the stratified step)."""
         outs = []
         start = 0
-        for q, K, K2 in strata:
+        for q, K, K2, *ne in strata:
+            ne = ne[0] if (ne and ne[0]) else n_samples
             sub = jax.lax.dynamic_slice_in_dim(rays, start % batch, q)
             start += q
             out = render_rays(
                 model, cfg, params, mask, sub, None, FreeMasks(),
-                aabb=aabb, step_size=step_size, n_samples=n_samples,
+                aabb=aabb, step_size=step_size, n_samples=ne,
                 is_train=False, white_bg=True, ndc_ray=False,
                 shade_top_k=shade_top_k, fused=True,
                 sample_budget=(K if use_budget else None),

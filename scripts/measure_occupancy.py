@@ -146,7 +146,7 @@ def main():
         t_rays.shape[0], size=min(4 * args.rays, t_rays.shape[0]),
         replace=False,
     )
-    t_counts, t_alive = count_ray_candidates_and_alive(
+    t_counts, t_alive, t_chord = count_ray_candidates_and_alive(
         t_rays[t_sel], alpha_mask, geometry.aabb_np, geometry.step_size,
         (near, far), n_samples=geometry.n_samples,
     )
@@ -175,6 +175,13 @@ def main():
         "quotas": quotas,
         "budgets": [int(b) for b in budgets],
         "alive_budgets": alive_budgets,
+        # per-stratum chord-capped lattices (train/loop.py::restratify):
+        # samples start at the bbox entry, so the stratum's longest chord
+        # bounds the lattice it must sample
+        "n_eff": [
+            int(min(geometry.n_samples, _budget_hint(t_chord[sel].max())))
+            for sel in strata
+        ],
         "batch": batch,
     }
 
@@ -193,12 +200,14 @@ def main():
     a_sel = np.random.default_rng(2).choice(
         a_rays.shape[0], size=min(args.rays, a_rays.shape[0]), replace=False
     )
-    a_chunk = jnp.asarray(a_rays[a_sel])
-    xyz, _, valid = sample_along_rays(
-        a_chunk[:, :3], a_chunk[:, 3:6], jnp.asarray(init_geom.aabb_np),
-        near, far, init_geom.step_size, init_geom.n_samples, None,
+    from tensorf_tpu.render.culling import count_ray_inbbox
+
+    # group-padded counts (the statistic the window-granular compaction
+    # pays) — same function the train loop's prefilter restratify uses
+    a_counts = count_ray_inbbox(
+        a_rays[a_sel], init_geom.aabb_np, init_geom.step_size, (near, far),
+        n_samples=init_geom.n_samples,
     )
-    a_counts = np.asarray(jnp.sum(valid, axis=-1))
     # in-bbox stratification of the warm-up phase (train/loop.py
     # ::restratify mask-free branch): per-stratum budgets from the same
     # DP partition the loop uses, so bench.py charges the real phase-A

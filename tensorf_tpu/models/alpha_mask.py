@@ -45,6 +45,30 @@ class AlphaGridMask(NamedTuple):
 COARSE_STRIDE = 4
 
 
+def group_padded_count(cand: jax.Array) -> jax.Array:
+    """(B, N) bool -> (B,) int: COARSE_STRIDE * (#stride windows with any
+    set sample).
+
+    The single definition of the statistic the window-granular budget
+    compaction pays (render/volume.py::_compact_grouped selects whole
+    stride windows): budget hints and serving tiers derived from it cover
+    every kept sample by construction.  Exceeds the raw count by at most
+    2*(COARSE_STRIDE-1) per ray — candidate runs are window-aligned
+    because the coarse gate is window-constant (sample_alpha_gate_coarse
+    repeats one probe per window), except where ray validity clips the
+    two chord-end windows.  Kept next to COARSE_STRIDE so the renderer's
+    paid statistic and the budget-sizing statistic cannot diverge.
+    """
+    B, N = cand.shape
+    S = COARSE_STRIDE
+    G = -(-N // S)
+    pad = G * S - N
+    if pad:
+        cand = jnp.pad(cand, ((0, 0), (0, pad)))
+    gk = cand.reshape(B, G, S).any(axis=-1)
+    return S * jnp.sum(gk.astype(jnp.int32), axis=-1)
+
+
 def with_dilation(mask: AlphaGridMask) -> AlphaGridMask:
     if mask.dilated is not None and mask.coarse is not None:
         return mask

@@ -271,9 +271,13 @@ def render_chunked(
 
 # Budget ladder for stratified serving: candidate budgets are snapped UP
 # to one of these static tiers so every frame reuses the same small set of
-# compiled programs (32-multiples; geometric-ish spacing bounds the
-# within-tier padding waste at ~1.5x).
-BUDGET_TIERS = (32, 64, 96, 128, 192, 256, 384, 512, 768, 1024)
+# compiled programs (32-multiples).  Spacing bounds within-tier padding at
+# ~1.25x below 512 — measured per-chunk cost is ~linear in the tier
+# (scripts/ablate_render.py: 145ms + 1.6ms/unit per 32k chunk), so a
+# denser ladder trades a few extra cached programs for proportional
+# per-ray work; the per-bucket chunk ladder keeps small buckets cheap.
+BUDGET_TIERS = (32, 64, 96, 128, 160, 192, 224, 256, 320, 384, 448, 512,
+                640, 768, 1024)
 
 
 def render_chunked_stratified(
@@ -320,13 +324,15 @@ def render_chunked_stratified(
     from .culling import (
         count_ray_candidates,
         count_ray_candidates_and_alive,
+        count_ray_candidates_and_chord,
     )
 
     rays = np.asarray(rays, dtype=np.float32)
     M = rays.shape[0]
     near_far = tuple(float(v) for v in cfg.near_far)
+    chords = None
     if use_coarse_gate and alive_stage:
-        counts, alive_counts = count_ray_candidates_and_alive(
+        counts, alive_counts, _ = count_ray_candidates_and_alive(
             rays,
             alpha_mask,
             np.asarray(aabb),
@@ -335,6 +341,17 @@ def render_chunked_stratified(
             n_samples=n_samples,
             chunk=max(chunk, 32768),
         )
+    elif use_coarse_gate:
+        counts, chords = count_ray_candidates_and_chord(
+            rays,
+            alpha_mask,
+            np.asarray(aabb),
+            step_size,
+            near_far,
+            n_samples=n_samples,
+            chunk=max(chunk, 32768),
+        )
+        alive_counts = None
     else:
         counts = count_ray_candidates(
             rays,
@@ -386,16 +403,29 @@ def render_chunked_stratified(
             snapped = next((t for t in BUDGET_TIERS if t >= amax), None)
             if snapped is not None and snapped < tier:
                 alive_tier = snapped
+        # Chord-capped lattice: samples start at each ray's bbox ENTRY
+        # (ops/rays.py::sample_along_rays), so a ray's valid samples
+        # occupy indices [0, chord) — a bucket whose longest member chord
+        # is C renders bit-exactly on an n_samples=C lattice, shrinking
+        # ALL fixed per-chunk lattice work (sampling, gate probes, top-k)
+        # by C/n_samples.  Snapped to a coarse 128-ladder to bound the
+        # compiled-program set; the tier budget is dropped where the
+        # capped lattice itself is at least as tight.
+        n_eff = n_samples
+        if chords is not None and not ndc_ray:
+            cmax = int(chords[order[start:end]].max())
+            n_eff = min(n_samples, max(128, -(-cmax // 128) * 128))
+        tier_b = tier if (tier is not None and tier < n_eff) else None
         fn = make_render_fn(
             model,
             cfg,
             step_size=step_size,
-            n_samples=n_samples,
+            n_samples=n_eff,
             white_bg=white_bg,
             ndc_ray=ndc_ray,
             shade_top_k=shade_top_k,
             fused=fused,
-            sample_budget=tier,
+            sample_budget=tier_b,
             budget_mode="cand",
             use_coarse_gate=use_coarse_gate,
             alive_budget=alive_tier,
@@ -413,6 +443,12 @@ def render_chunked_stratified(
             if n_b <= c:
                 chunk_b = c
                 break
+        # memory guard: with no budget compaction the packed density
+        # footprint intermediate is (chunk * n_eff) rows — cap the chunk
+        # so an unbudgeted tail bucket at a large lattice cannot OOM the
+        # 16 GB HBM (observed: 32k x 1075 x 64ch fusion buffer = 18 GB)
+        if tier_b is None and n_eff > 512:
+            chunk_b = min(chunk_b, 8192)
         rgb_b, depth_b, nv, of = render_chunked(
             fn,
             params,

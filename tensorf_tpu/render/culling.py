@@ -18,6 +18,7 @@ import numpy as np
 
 from ..models.alpha_mask import (
     AlphaGridMask,
+    group_padded_count,
     max_pool_3d_same,
     sample_alpha_gate,
     sample_alpha_gate_coarse,
@@ -224,9 +225,10 @@ def _candidate_counts(
         None,
     )
     if coarse:
+        # group-padded: the renderer selects whole stride windows
         cand = valid & sample_alpha_gate_coarse(alpha_mask, xyz)
-    else:
-        cand = valid & (sample_alpha_gate(alpha_mask, xyz) > 0)
+        return group_padded_count(cand)
+    cand = valid & (sample_alpha_gate(alpha_mask, xyz) > 0)
     return jnp.sum(cand.astype(jnp.int32), axis=-1)
 
 
@@ -237,13 +239,16 @@ def _candidate_counts(
 def _candidate_counts_both(
     rays, alpha_mask, aabb, *, n_samples, step_size, near, far
 ):
-    """(coarse candidate count, exact alive count) per ray in one pass.
+    """(coarse candidate count, exact alive count, in-bbox chord count)
+    per ray in one pass.
 
     The exact gate dominates (one gathered probe per lattice sample); the
     strided coarse probes add ~1/COARSE_STRIDE on top, so fusing both into
     one program costs ~25% over the exact count alone vs 2x for two
-    passes.  Feeds the two budget stages of stratified batching: stage 1
-    compacts by coarse candidates, stage 2 by exact-alive rows.
+    passes.  Candidate counts drive stratification edges / stage-1
+    budgets, alive counts size stage-2 budgets, and the chord count caps
+    the per-stratum sample lattice (samples start at the bbox entry, so a
+    ray's valid samples occupy indices [0, chord)).
     """
     xyz, _, valid = sample_along_rays(
         rays[:, :3], rays[:, 3:6], aabb, near, far, step_size, n_samples,
@@ -252,8 +257,9 @@ def _candidate_counts_both(
     cand = valid & sample_alpha_gate_coarse(alpha_mask, xyz)
     alive = valid & (sample_alpha_gate(alpha_mask, xyz) > 0)
     return (
-        jnp.sum(cand.astype(jnp.int32), axis=-1),
+        group_padded_count(cand),
         jnp.sum(alive.astype(jnp.int32), axis=-1),
+        jnp.sum(valid.astype(jnp.int32), axis=-1),
     )
 
 
@@ -302,12 +308,68 @@ def count_ray_candidates(
     jax.jit,
     static_argnames=("n_samples", "step_size", "near", "far"),
 )
+def _candidate_and_chord_counts(
+    rays, alpha_mask, aabb, *, n_samples, step_size, near, far
+):
+    """(group-padded coarse candidate count, raw in-bbox chord count) per
+    ray, one pass, no exact gate (serving-side: the chord count caps the
+    per-bucket lattice — samples start at the bbox entry, so a ray's
+    valid samples occupy indices [0, chord))."""
+    xyz, _, valid = sample_along_rays(
+        rays[:, :3], rays[:, 3:6], aabb, near, far, step_size, n_samples,
+        None,
+    )
+    cand = valid & sample_alpha_gate_coarse(alpha_mask, xyz)
+    return (
+        group_padded_count(cand),
+        jnp.sum(valid.astype(jnp.int32), axis=-1),
+    )
+
+
+def count_ray_candidates_and_chord(
+    all_rays,
+    alpha_mask: AlphaGridMask,
+    aabb,
+    step_size: float,
+    near_far=(2.0, 6.0),
+    n_samples: int = 256,
+    chunk: int = 51200,
+):
+    """Chunked (candidate, in-bbox chord) counts over a ray set — the
+    serving-side statistics pair: candidates pick the budget tier, the
+    chord caps the bucket's sample lattice (render/chunked.py)."""
+    rays = np.asarray(all_rays, np.float32)
+    aabb_j = jnp.asarray(aabb, jnp.float32).reshape(2, 3)
+    cands, chords = [], []
+    for start in range(0, rays.shape[0], chunk):
+        part = rays[start : start + chunk]
+        n = part.shape[0]
+        if n < chunk:
+            part = np.concatenate(
+                [part, np.broadcast_to(part[-1:], (chunk - n, 6))], 0
+            )
+        c, h = _candidate_and_chord_counts(
+            jnp.asarray(part), alpha_mask, aabb_j,
+            n_samples=n_samples, step_size=float(step_size),
+            near=float(near_far[0]), far=float(near_far[1]),
+        )
+        cands.append(np.asarray(c)[:n])
+        chords.append(np.asarray(h)[:n])
+    return np.concatenate(cands, axis=0), np.concatenate(chords, axis=0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_samples", "step_size", "near", "far"),
+)
 def _inbbox_counts(rays, aabb, *, n_samples, step_size, near, far):
     _, _, valid = sample_along_rays(
         rays[:, :3], rays[:, 3:6], aabb, near, far, step_size, n_samples,
         None,
     )
-    return jnp.sum(valid.astype(jnp.int32), axis=-1)
+    # group-padded: the mask-free budget compaction also selects whole
+    # stride windows (render/volume.py)
+    return group_padded_count(valid)
 
 
 def count_ray_inbbox(
@@ -358,13 +420,14 @@ def count_ray_candidates_and_alive(
     n_samples: int = 256,
     chunk: int = 51200,
 ):
-    """Per-ray (coarse candidate, exact alive) counts over the ray store —
-    one fused device pass (see _candidate_counts_both).  Candidate counts
-    drive the stratification edges / stage-1 budgets; alive counts size the
-    per-stratum exact-alive stage-2 budgets."""
+    """Per-ray (coarse candidate, exact alive, in-bbox chord) counts over
+    the ray store — one fused device pass (see _candidate_counts_both).
+    Candidate counts drive the stratification edges / stage-1 budgets;
+    alive counts size the per-stratum exact-alive stage-2 budgets; chord
+    counts cap the per-stratum sample lattice."""
     rays = np.asarray(all_rays, np.float32)
     aabb_j = jnp.asarray(aabb, jnp.float32).reshape(2, 3)
-    cands, alives = [], []
+    cands, alives, chords = [], [], []
     for start in range(0, rays.shape[0], chunk):
         part = rays[start : start + chunk]
         n = part.shape[0]
@@ -372,14 +435,19 @@ def count_ray_candidates_and_alive(
             part = np.concatenate(
                 [part, np.broadcast_to(part[-1:], (chunk - n, 6))], 0
             )
-        c, a = _candidate_counts_both(
+        c, a, h = _candidate_counts_both(
             jnp.asarray(part), alpha_mask, aabb_j,
             n_samples=n_samples, step_size=float(step_size),
             near=float(near_far[0]), far=float(near_far[1]),
         )
         cands.append(np.asarray(c)[:n])
         alives.append(np.asarray(a)[:n])
-    return np.concatenate(cands, axis=0), np.concatenate(alives, axis=0)
+        chords.append(np.asarray(h)[:n])
+    return (
+        np.concatenate(cands, axis=0),
+        np.concatenate(alives, axis=0),
+        np.concatenate(chords, axis=0),
+    )
 
 
 def _budget_hint(max_count: int) -> int:

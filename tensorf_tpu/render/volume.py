@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.alpha_mask import (
+    COARSE_STRIDE,
     AlphaGridMask,
     sample_alpha_gate,
     sample_alpha_gate_coarse,
@@ -162,6 +163,70 @@ def render_rays(
         took = jnp.take(packed, flat, axis=0).reshape(B, K, 6)
         return took[..., :3], took[..., 3], took[..., 4], took[..., 5] > 0.5
 
+    def _compact_grouped(xyz, z_vals, dists, keep, K, n_from):
+        """Group-granular variant of _compact: select whole COARSE_STRIDE
+        sample windows instead of individual samples.
+
+        The coarse candidate gate is window-constant by construction
+        (sample_alpha_gate_coarse probes once per stride window and
+        repeats), and `ray_valid` clips at most the two chord-end windows
+        — so candidate runs are stride-aligned up to <= 2*(STRIDE-1)
+        boundary samples per ray.  Selecting windows shrinks the top-k
+        score problem by STRIDE^2 (N/4 keys, K/4 selections — measured
+        ~6-10 ms of a mask-era step on v5e) at the cost of <= 6 padding
+        samples per ray, which the count functions charge by returning
+        group-PADDED counts (budgets therefore still cover every kept
+        sample: compaction stays exact, monitored by the same overflow
+        statistic, here at group granularity).
+
+        Returns (xyz, z_vals, dists, kept, padded_count) — kept is the
+        PER-SAMPLE keep flag gathered alongside, so padding samples stay
+        gated off downstream.
+
+        INVARIANT: the window grouping here (index-0-aligned reshape to
+        (B, G, COARSE_STRIDE)) must match models/alpha_mask.py::
+        group_padded_count, the statistic budgets and serving tiers are
+        sized from — if either grouping rule changes, change both.
+        """
+        S = COARSE_STRIDE
+        G = -(-n_from // S)
+        tail = G * S - n_from
+        keep_p = jnp.pad(keep, ((0, 0), (0, tail)))
+        gkeep = keep_p.reshape(B, G, S).any(axis=-1)
+        padded_count = S * jnp.sum(gkeep.astype(jnp.int32), axis=-1)
+        order = jnp.arange(G, dtype=jnp.int32)
+        score = gkeep.astype(jnp.int32) * (2 * G - order)
+        _, gsel = jax.lax.top_k(score, K // S)  # keep-and-near first
+        gsel = jnp.sort(gsel, axis=-1)  # restore depth order
+        sel = (
+            gsel[..., None] * S + jnp.arange(S, dtype=jnp.int32)
+        ).reshape(B, K)
+        packed = jnp.concatenate(
+            [
+                xyz,
+                z_vals[..., None],
+                dists[..., None],
+                keep.astype(xyz.dtype)[..., None],
+            ],
+            axis=-1,
+        )
+        if tail:
+            # lattice-tail padding rows carry keep=0 so a selected padded
+            # window never contributes a live sample
+            packed = jnp.pad(packed, ((0, 0), (0, tail), (0, 0)))
+        packed = packed.reshape(B * G * S, 6)
+        flat = (
+            jnp.arange(B, dtype=jnp.int32)[:, None] * (G * S) + sel
+        ).reshape(-1)
+        took = jnp.take(packed, flat, axis=0).reshape(B, K, 6)
+        return (
+            took[..., :3],
+            took[..., 3],
+            took[..., 4],
+            took[..., 5] > 0.5,
+            padded_count,
+        )
+
     n_eff = n_samples
     overflow_frac = jnp.float32(0.0)
     use_budget = sample_budget is not None and sample_budget < n_samples
@@ -190,12 +255,20 @@ def render_rays(
             # stratum candidate maxima, so compaction is exact by
             # construction).  Keep the K nearest candidates, then run the
             # exact gate on just those K rows; vs the two-stage "alive"
-            # mode this skips the K+224 intermediate entirely.
+            # mode this skips the K+224 intermediate entirely.  The
+            # selection runs at stride-window granularity when K allows
+            # (the coarse gate is window-constant, see _compact_grouped).
             cand = ray_valid & sample_alpha_gate_coarse(alpha_mask, xyz)
-            over1 = jnp.sum(cand.astype(jnp.int32), axis=-1) > K
-            xyz, z_vals, dists, kept = _compact(
-                xyz, z_vals, dists, cand, K, n_samples
-            )
+            if K % COARSE_STRIDE == 0:
+                xyz, z_vals, dists, kept, pc = _compact_grouped(
+                    xyz, z_vals, dists, cand, K, n_samples
+                )
+                over1 = pc > K
+            else:
+                over1 = jnp.sum(cand.astype(jnp.int32), axis=-1) > K
+                xyz, z_vals, dists, kept = _compact(
+                    xyz, z_vals, dists, cand, K, n_samples
+                )
             ray_valid = kept & (sample_alpha_gate(alpha_mask, xyz) > 0)
             if alive_budget is not None and alive_budget < K:
                 # Exact-alive second stage: the dilated coarse shells keep
@@ -244,15 +317,23 @@ def render_rays(
             )
             exact_gated = True
         else:
+            # mask-free (prefilter) budget: candidates are the contiguous
+            # in-bbox run, so window selection applies here too
             cand = ray_valid
-            overflow_frac = jnp.mean(
-                (jnp.sum(cand.astype(jnp.int32), axis=-1) > K).astype(
-                    jnp.float32
+            if K % COARSE_STRIDE == 0 and not ndc_ray:
+                xyz, z_vals, dists, ray_valid, pc = _compact_grouped(
+                    xyz, z_vals, dists, cand, K, n_samples
                 )
-            )
-            xyz, z_vals, dists, ray_valid = _compact(
-                xyz, z_vals, dists, cand, K, n_samples
-            )
+                overflow_frac = jnp.mean((pc > K).astype(jnp.float32))
+            else:
+                overflow_frac = jnp.mean(
+                    (jnp.sum(cand.astype(jnp.int32), axis=-1) > K).astype(
+                        jnp.float32
+                    )
+                )
+                xyz, z_vals, dists, ray_valid = _compact(
+                    xyz, z_vals, dists, cand, K, n_samples
+                )
         n_eff = K
 
     # Stage-2 cull: alpha-mask occupancy as a gate (tensorBase.py:349-354)

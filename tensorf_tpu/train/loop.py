@@ -57,6 +57,7 @@ from ..parallel.mesh import (
 )
 from ..models.alpha_mask import coarse_gate_valid
 from ..render.culling import (
+    _budget_hint,
     compute_alpha_grid,
     count_ray_candidates,
     count_ray_candidates_and_alive,
@@ -263,6 +264,7 @@ def reconstruction(cfg: TrainConfig) -> str:
     prefilter_run = cfg.prefilter_budget if cfg.prefilter_budget > 0 else 0
     strata_budgets: Optional[list] = None  # None = unstratified
     strata_alive_budgets: Optional[list] = None  # stage-2 exact-alive caps
+    strata_n_samples: Optional[tuple] = None  # per-stratum chord lattices
     overflow_strikes = [0]  # per active budget (len = n_strata or 1)
 
     # quota rounding keeps every per-stratum sub-batch evenly divisible
@@ -319,6 +321,11 @@ def reconstruction(cfg: TrainConfig) -> str:
                 if strata_alive_budgets is not None
                 else None
             ),
+            strata_n_samples=(
+                tuple(strata_n_samples)
+                if strata_n_samples is not None
+                else None
+            ),
             # the per-ray budget only becomes exact once the alpha mask
             # culls most samples; before that every in-box sample is alive
             # and a budget would truncate rays mid-scene — unless the user
@@ -348,17 +355,18 @@ def reconstruction(cfg: TrainConfig) -> str:
         reference economy matched: tensorBase.py:360-375 pays each ray's
         own alive count).  Returns True when stratification is active."""
         nonlocal sampler, strata_budgets, strata_alive_budgets
-        nonlocal overflow_strikes
+        nonlocal strata_n_samples, overflow_strikes
 
         def deactivate():
             # fall back to the plain sampler consistently: a stale
             # stratified sampler/budget pair must never outlive a store
             # refilter (treedef/shape mismatch with the step signature)
             nonlocal sampler, strata_budgets, strata_alive_budgets
-            nonlocal overflow_strikes
+            nonlocal strata_n_samples, overflow_strikes
             if strata_budgets is not None:
                 strata_budgets = None
                 strata_alive_budgets = None
+                strata_n_samples = None
                 overflow_strikes = [0]
                 sampler = SimpleSampler(
                     allrays.shape[0],
@@ -386,15 +394,22 @@ def reconstruction(cfg: TrainConfig) -> str:
                 near_far,
                 n_samples=state.n_samples,
             )
+            # the in-bbox count IS the chord: the capped lattice alone
+            # reproduces the budget compaction (samples start at the bbox
+            # entry), so phase-A strata render unbudgeted at their chord
+            # lattice — no top-k, no compaction row traffic at all
+            chord_counts = counts
             alive_counts = None
         elif coarse_ok():
-            counts, alive_counts = count_ray_candidates_and_alive(
-                allrays,
-                state.alpha_mask,
-                state.geometry.aabb_np,
-                state.geometry.step_size,
-                near_far,
-                n_samples=state.n_samples,
+            counts, alive_counts, chord_counts = (
+                count_ray_candidates_and_alive(
+                    allrays,
+                    state.alpha_mask,
+                    state.geometry.aabb_np,
+                    state.geometry.step_size,
+                    near_far,
+                    n_samples=state.n_samples,
+                )
             )
         else:
             # without a valid coarse gate the step selects candidates with
@@ -409,6 +424,7 @@ def reconstruction(cfg: TrainConfig) -> str:
                 use_coarse=False,
             )
             alive_counts = None
+            chord_counts = None
         quantiles = (
             tuple(cfg.strata_quantiles) if cfg.strata_quantiles else None
         )
@@ -436,6 +452,17 @@ def reconstruction(cfg: TrainConfig) -> str:
         strata_budgets = [
             b if b < state.n_samples else None for b in budgets
         ]
+        # Per-stratum lattice caps: samples start at the bbox entry, so a
+        # stratum whose longest member chord is C renders exactly on an
+        # n_samples=C lattice — the fixed lattice work (sampling, probes,
+        # window top-k) shrinks by C/n_samples per stratum.
+        if chord_counts is not None:
+            strata_n_samples = tuple(
+                min(state.n_samples, _budget_hint(chord_counts[sel].max()))
+                for sel in strata
+            )
+        else:
+            strata_n_samples = None
         # Stage-2 exact-alive budgets only where they undercut the (still
         # active) candidate budget — the compaction's own row traffic must
         # be amortized
@@ -461,7 +488,9 @@ def reconstruction(cfg: TrainConfig) -> str:
             f"[{iteration}] stratified ray store: sizes "
             f"{[s.size for s in strata]}, quotas {quotas}, "
             f"budgets {strata_budgets}, alive budgets "
-            f"{strata_alive_budgets} (lattice {state.n_samples}, "
+            f"{strata_alive_budgets}, lattices "
+            f"{list(strata_n_samples) if strata_n_samples else None} "
+            f"(lattice {state.n_samples}, "
             f"mean cand {counts.mean():.1f}, p99.9 "
             f"{np.quantile(counts, 0.999):.0f}{alive_note})"
         )

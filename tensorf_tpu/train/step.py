@@ -74,6 +74,15 @@ class TrainStatics(NamedTuple):
     # maximum before the expensive per-sample work.  None entry = single
     # stage for that stratum.  Same length as strata_budgets when set.
     strata_alive_budgets: Optional[Tuple[Optional[int], ...]] = None
+    # Per-stratum sample-lattice caps: ray samples start at the bbox ENTRY
+    # (ops/rays.py::sample_along_rays), so a stratum whose longest member
+    # chord is C renders exactly on an n_samples=C lattice — all fixed
+    # lattice work (sampling, gate probes, window top-k) shrinks by
+    # C/n_samples.  None = use `n_samples` for every stratum.  Where the
+    # entry equals the stratum's candidate budget the compaction disables
+    # itself (budget < n_samples fails) — the capped lattice IS the
+    # compaction (the mask-free prefilter case).
+    strata_n_samples: Optional[Tuple[int, ...]] = None
 
 
 def _build_masks(cfg: ModelConfig, statics: TrainStatics, step) -> FreeMasks:
@@ -112,7 +121,7 @@ def make_train_step(model, cfg: ModelConfig, statics: TrainStatics, optimizer):
     lw = statics.weights
 
     def _render(params, alpha_mask, aabb, rays, key, masks, budget, mode,
-                alive_budget=None):
+                alive_budget=None, n_samples=None):
         return render_rays(
             model,
             cfg,
@@ -123,7 +132,9 @@ def make_train_step(model, cfg: ModelConfig, statics: TrainStatics, optimizer):
             masks,
             aabb=aabb,
             step_size=statics.step_size,
-            n_samples=statics.n_samples,
+            n_samples=(
+                n_samples if n_samples is not None else statics.n_samples
+            ),
             is_train=True,
             white_bg=statics.white_bg,
             ndc_ray=statics.ndc_ray,
@@ -149,6 +160,8 @@ def make_train_step(model, cfg: ModelConfig, statics: TrainStatics, optimizer):
                 (None,) * len(ids)
             )
             assert len(alive_budgets) == len(statics.strata_budgets)
+            strata_ns = statics.strata_n_samples or ((None,) * len(ids))
+            assert len(strata_ns) == len(statics.strata_budgets)
             sizes = [int(i.shape[0]) for i in ids]
             total_rays = float(sum(sizes))
             keys = jax.random.split(key, len(ids))
@@ -164,7 +177,7 @@ def make_train_step(model, cfg: ModelConfig, statics: TrainStatics, optimizer):
                 rgbs_s = jnp.take(rgbs, ids_s, axis=0)
                 out = _render(
                     params, alpha_mask, aabb, rays_s, keys[s], masks,
-                    budget_s, "cand", alive_budgets[s],
+                    budget_s, "cand", alive_budgets[s], strata_ns[s],
                 )
                 w = sizes[s] / total_rays
                 mse = mse + w * mse_loss(out.rgb, rgbs_s)

@@ -112,7 +112,7 @@ def test_alive_second_stage_exact_when_budget_covers_counts(setup, rng):
 
     model, params, mask = setup
     rays = _rays(rng, 64)
-    cand, alive = count_ray_candidates_and_alive(
+    cand, alive, _ = count_ray_candidates_and_alive(
         rays, mask, np.asarray(AABB), STEP, (2.0, 6.0), n_samples=NS
     )
     budget = int(max(32, -(-int(cand.max()) // 32) * 32))
@@ -160,7 +160,7 @@ def test_stratified_step_with_alive_budgets_finite(setup, rng):
     model, params, mask = setup
     store = _rays(np.random.default_rng(5), 256)
     rgbs = np.random.default_rng(6).uniform(size=(256, 3)).astype(np.float32)
-    cand, alive = count_ray_candidates_and_alive(
+    cand, alive, _ = count_ray_candidates_and_alive(
         store, mask, np.asarray(AABB), STEP, (2.0, 6.0), n_samples=NS
     )
     strata, budgets = stratify_rays(cand, quantiles=(0.5,))
@@ -306,7 +306,7 @@ def test_joint_strata_render_exact(setup, rng):
 
     model, params, mask = setup
     rays = _rays(rng, 128)
-    cand, alive = count_ray_candidates_and_alive(
+    cand, alive, _ = count_ray_candidates_and_alive(
         rays, mask, np.asarray(AABB), STEP, (2.0, 6.0), n_samples=NS
     )
     strata, cand_budgets, alive_budgets = stratify_rays_joint(
@@ -363,13 +363,26 @@ def test_inbbox_strata_render_exact(setup, rng):
         np.testing.assert_allclose(
             np.asarray(out.rgb), np.asarray(full.rgb), rtol=1e-5, atol=1e-5
         )
+        # chord-capped lattice with NO budget: samples start at the bbox
+        # entry, so rendering on an n_samples=b lattice keeps every
+        # in-bbox sample — the compaction-free phase-A production path
+        capped = render_rays(
+            model, CFG, params, None, sub, None, FreeMasks(),
+            **{**kw, "n_samples": min(b, NS)},
+        )
+        np.testing.assert_allclose(
+            np.asarray(capped.rgb), np.asarray(full.rgb),
+            rtol=1e-5, atol=1e-5,
+        )
 
 
 def test_count_ray_inbbox_matches_render_valid(rng):
-    """count_ray_inbbox equals the per-ray valid-sample count the renderer
-    sees (same sampler, no jitter), up to the ±1 FP boundary jitter a
-    different batch shape can introduce for samples landing exactly on a
-    bbox face (_budget_hint's +8 slack exists for exactly this)."""
+    """count_ray_inbbox equals the group-PADDED per-ray valid-sample count
+    (the statistic the window-granular compaction pays), up to one stride
+    window of FP boundary jitter a different batch shape can introduce for
+    samples landing exactly on a bbox face (_budget_hint's +8 slack exists
+    for exactly this)."""
+    from tensorf_tpu.models.alpha_mask import COARSE_STRIDE
     from tensorf_tpu.ops.rays import sample_along_rays
     from tensorf_tpu.render.culling import count_ray_inbbox
 
@@ -381,8 +394,14 @@ def test_count_ray_inbbox_matches_render_valid(rng):
     _, _, valid = sample_along_rays(
         r[:, :3], r[:, 3:6], AABB, 2.0, 6.0, STEP, NS, None
     )
-    direct = np.asarray(jnp.sum(valid.astype(jnp.int32), axis=-1))
-    assert np.abs(counts - direct).max() <= 1
+    from tensorf_tpu.models.alpha_mask import group_padded_count
+
+    S = COARSE_STRIDE
+    direct = np.asarray(group_padded_count(valid))
+    assert np.abs(counts - direct).max() <= S
+    # padded counts bound the raw counts from above
+    raw = np.asarray(jnp.sum(valid.astype(jnp.int32), axis=-1))
+    assert (counts + 1 >= raw).all()
 
 
 def test_stratified_sampler_draws_from_own_stratum():
@@ -462,6 +481,31 @@ def test_stratified_train_step_matches_plain_loss(setup, rng):
     np.testing.assert_allclose(
         float(m1["reg_l1"]), float(m2["reg_l1"]), rtol=1e-6
     )
+
+
+def test_stratified_chord_cap_exact(setup, rng):
+    """Chord-capped bucket lattices: with n_samples far above the longest
+    bbox chord, the stratified driver renders buckets on a smaller capped
+    lattice — must still equal the full-lattice uniform render bit-for-bit
+    (samples start at the bbox entry, so indices >= chord are invalid)."""
+    model, params, mask = setup
+    rays = _rays(rng, 200)
+    NS_BIG = 256  # scene diag / STEP ~= 104 samples -> cap engages at 128
+    fn = make_render_fn(
+        model, CFG, step_size=STEP, n_samples=NS_BIG, white_bg=True,
+        ndc_ray=False,
+    )
+    rgb_u, depth_u, _, _ = render_chunked(
+        fn, params, mask, rays, AABB, chunk=128
+    )
+    rgb_s, depth_s, _, overflow = render_chunked_stratified(
+        model, CFG, params, mask, rays, AABB,
+        step_size=STEP, n_samples=NS_BIG, white_bg=True, ndc_ray=False,
+        chunk=128,
+    )
+    assert overflow == 0.0
+    np.testing.assert_allclose(rgb_s, rgb_u, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(depth_s, depth_u, rtol=1e-4, atol=1e-4)
 
 
 def test_render_chunked_stratified_matches_uniform(setup, rng):
