@@ -119,6 +119,39 @@ def sample_alpha_gate(mask: AlphaGridMask, xyz: jax.Array) -> jax.Array:
     return jnp.where(out_of_box, 0.0, vol.reshape(-1)[flat])
 
 
+def coarse_probe_hits(mask: AlphaGridMask, probe: jax.Array) -> jax.Array:
+    """Nearest lookup of the extra-dilated coarse volume at probe points
+    (..., 3) -> (...,) bool.  The shared primitive of the strided coarse
+    pre-gate: sample_alpha_gate_coarse probes the middle sample of each
+    stride window through this, and the probe-only count pass
+    (culling.py) calls it on directly-computed probe positions."""
+    vol = mask.coarse
+    if vol is None:
+        vol = max_pool_3d_same(
+            mask.dilated
+            if mask.dilated is not None
+            else max_pool_3d_same(mask.volume, ks=3),
+            ks=5,
+        )
+    D, H, W = vol.shape
+    inv_size = 2.0 / (mask.aabb[1] - mask.aabb[0])
+    norm = jnp.clip((probe - mask.aabb[0]) * inv_size - 1.0, -1.0, 1.0)
+    sizes = jnp.asarray([W, H, D], dtype=norm.dtype)
+    ijk = jnp.round((norm + 1.0) * 0.5 * (sizes - 1)).astype(jnp.int32)
+    flat = ijk[..., 2] * (H * W) + ijk[..., 1] * W + ijk[..., 0]
+    return vol.reshape(-1)[flat] > 0
+
+
+def coarse_probe_indices(n_samples: int) -> np.ndarray:
+    """Lattice indices the coarse gate probes: the MIDDLE sample of each
+    COARSE_STRIDE window (clipped at the lattice end)."""
+    n_probe = -(-n_samples // COARSE_STRIDE)
+    return np.minimum(
+        np.arange(n_probe) * COARSE_STRIDE + COARSE_STRIDE // 2,
+        n_samples - 1,
+    )
+
+
 def sample_alpha_gate_coarse(mask: AlphaGridMask, xyz: jax.Array) -> jax.Array:
     """Strided occupancy pre-gate: one lookup per COARSE_STRIDE samples.
 
@@ -130,27 +163,8 @@ def sample_alpha_gate_coarse(mask: AlphaGridMask, xyz: jax.Array) -> jax.Array:
     the kept samples, so final sigma gating is unchanged.
     """
     B, N, _ = xyz.shape
-    vol = mask.coarse
-    if vol is None:
-        vol = max_pool_3d_same(
-            mask.dilated
-            if mask.dilated is not None
-            else max_pool_3d_same(mask.volume, ks=3),
-            ks=5,
-        )
-    # probe the MIDDLE sample of each stride window (see COARSE_STRIDE)
-    n_probe = -(-N // COARSE_STRIDE)
-    probe_idx = np.minimum(
-        np.arange(n_probe) * COARSE_STRIDE + COARSE_STRIDE // 2, N - 1
-    )
-    probe = xyz[:, probe_idx, :]  # (B, n_probe, 3)
-    D, H, W = vol.shape
-    inv_size = 2.0 / (mask.aabb[1] - mask.aabb[0])
-    norm = jnp.clip((probe - mask.aabb[0]) * inv_size - 1.0, -1.0, 1.0)
-    sizes = jnp.asarray([W, H, D], dtype=norm.dtype)
-    ijk = jnp.round((norm + 1.0) * 0.5 * (sizes - 1)).astype(jnp.int32)
-    flat = ijk[..., 2] * (H * W) + ijk[..., 1] * W + ijk[..., 0]
-    hit = vol.reshape(-1)[flat] > 0  # (B, n_probe)
+    probe = xyz[:, coarse_probe_indices(N), :]  # (B, n_probe, 3)
+    hit = coarse_probe_hits(mask, probe)  # (B, n_probe)
     return jnp.repeat(hit, COARSE_STRIDE, axis=1)[:, :N]
 
 

@@ -17,7 +17,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.alpha_mask import (
+    COARSE_STRIDE,
     AlphaGridMask,
+    coarse_probe_hits,
+    coarse_probe_indices,
     group_padded_count,
     max_pool_3d_same,
     sample_alpha_gate,
@@ -311,19 +314,39 @@ def count_ray_candidates(
 def _candidate_and_chord_counts(
     rays, alpha_mask, aabb, *, n_samples, step_size, near, far
 ):
-    """(group-padded coarse candidate count, raw in-bbox chord count) per
-    ray, one pass, no exact gate (serving-side: the chord count caps the
-    per-bucket lattice — samples start at the bbox entry, so a ray's
-    valid samples occupy indices [0, chord))."""
-    xyz, _, valid = sample_along_rays(
-        rays[:, :3], rays[:, 3:6], aabb, near, far, step_size, n_samples,
-        None,
+    """(group-padded coarse candidate count, in-bbox chord count) per ray
+    — PROBE-ONLY: touches one mask row per COARSE_STRIDE samples and
+    never materializes the (B, N, 3) lattice.
+
+    Valid samples are contiguous from index 0 (samples march from the
+    bbox entry through a convex box), so the chord is closed-form from
+    the slab test, window validity is `window_start < chord`, and probe
+    positions are computed directly with the same arithmetic
+    sample_along_rays uses at those indices (xyz = o + (t0 + i*step)*d).
+    FP boundary disagreement with the per-sample inside test is ±1
+    sample — inside the +8 budget-hint / tier-snap slack the consumers
+    already carry for batch-shape FP jitter.
+    """
+    o, d = rays[:, :3], rays[:, 3:6]
+    t_min, t_max = aabb_entry_exit(o, d, aabb)
+    t0 = jnp.clip(t_min, near, far)
+    n_in = jnp.floor((t_max - t0) / step_size) + 1.0
+    chord = jnp.clip(
+        jnp.where(t_max >= t0, n_in, 0.0), 0, n_samples
+    ).astype(jnp.int32)
+
+    pidx = coarse_probe_indices(n_samples)  # static (n_probe,)
+    z = t0[:, None] + jnp.asarray(pidx, o.dtype)[None, :] * step_size
+    probe = o[:, None, :] + d[:, None, :] * z[..., None]
+    hits = coarse_probe_hits(alpha_mask, probe)  # (B, n_probe)
+    starts = jnp.asarray(
+        np.arange(pidx.shape[0]) * COARSE_STRIDE, jnp.int32
     )
-    cand = valid & sample_alpha_gate_coarse(alpha_mask, xyz)
-    return (
-        group_padded_count(cand),
-        jnp.sum(valid.astype(jnp.int32), axis=-1),
+    wvalid = starts[None, :] < chord[:, None]
+    cand_padded = COARSE_STRIDE * jnp.sum(
+        (hits & wvalid).astype(jnp.int32), axis=-1
     )
+    return cand_padded, chord
 
 
 def count_ray_candidates_and_chord(

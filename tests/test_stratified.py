@@ -483,6 +483,35 @@ def test_stratified_train_step_matches_plain_loss(setup, rng):
     )
 
 
+def test_probe_only_counts_match_full_lattice(setup, rng):
+    """The probe-only serving count pass (closed-form chord + direct probe
+    positions) must reproduce the full-lattice computation up to the one
+    stride window / one sample of FP boundary slack its consumers carry."""
+    from tensorf_tpu.models.alpha_mask import (
+        COARSE_STRIDE,
+        group_padded_count,
+        sample_alpha_gate_coarse,
+    )
+    from tensorf_tpu.ops.rays import sample_along_rays
+    from tensorf_tpu.render.culling import count_ray_candidates_and_chord
+
+    model, params, mask = setup
+    rays = _rays(rng, 256)
+    cand, chord = count_ray_candidates_and_chord(
+        rays, mask, np.asarray(AABB), STEP, (2.0, 6.0), n_samples=NS
+    )
+    r = jnp.asarray(rays)
+    xyz, _, valid = sample_along_rays(
+        r[:, :3], r[:, 3:6], AABB, 2.0, 6.0, STEP, NS, None
+    )
+    full_cand = np.asarray(
+        group_padded_count(valid & sample_alpha_gate_coarse(mask, xyz))
+    )
+    full_chord = np.asarray(jnp.sum(valid.astype(jnp.int32), axis=-1))
+    assert np.abs(cand - full_cand).max() <= COARSE_STRIDE
+    assert np.abs(chord - full_chord).max() <= 1
+
+
 def test_stratified_chord_cap_exact(setup, rng):
     """Chord-capped bucket lattices: with n_samples far above the longest
     bbox chord, the stratified driver renders buckets on a smaller capped
