@@ -48,6 +48,10 @@ class RendererHandle:
     # per-bucket budgets, exact by construction; used whenever an alpha
     # mask exists.  Falls back to the uniform path without a mask.
     stratified: bool = False
+    # Ray-batch DP serving: with a mesh set, each chunk's rays are
+    # sharded over the mesh's data axis and GSPMD runs the render SPMD
+    # (same layout as the train step; reference serving is single-GPU).
+    mesh: object = None
 
     def render(self, rays: np.ndarray, chunk: int = 8192):
         if self.stratified and self.alpha_mask is not None:
@@ -66,6 +70,7 @@ class RendererHandle:
                 fused=self.fused,
                 chunk=chunk,
                 use_coarse_gate=self.use_coarse_gate,
+                mesh=self.mesh,
             )
         else:
             fn = make_render_fn(
@@ -81,7 +86,8 @@ class RendererHandle:
                 use_coarse_gate=self.use_coarse_gate,
             )
             out = render_chunked(
-                fn, self.params, self.alpha_mask, rays, self.aabb, chunk=chunk
+                fn, self.params, self.alpha_mask, rays, self.aabb,
+                chunk=chunk, mesh=self.mesh,
             )
         rgb, depth, num_valid, overflow = out
         if overflow > 0.0:

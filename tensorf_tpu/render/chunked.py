@@ -237,11 +237,22 @@ def render_chunked(
     *,
     chunk: int = 8192,
     masks: FreeMasks = FreeMasks(),
+    mesh=None,
 ):
     """Render (M, 6) rays in fixed-size chunks; returns numpy rgb/depth.
 
     Pads the tail chunk so every call hits the same compiled program.
+    With ``mesh`` set, each chunk's rays are sharded over the mesh's data
+    axis (ray-batch DP, same layout as the train step) and GSPMD runs the
+    render SPMD — params/mask/aabb ride along replicated automatically.
     """
+    put = jnp.asarray
+    if mesh is not None and chunk % mesh.devices.size == 0:
+        from ..parallel.mesh import shard_rays
+
+        def put(part):  # noqa: E306 - chunk-sharding placement
+            return shard_rays(mesh, jnp.asarray(part))
+
     rays = np.asarray(rays, dtype=np.float32)
     M = rays.shape[0]
     pending = []
@@ -255,7 +266,7 @@ def render_chunked(
         # dispatch every chunk asynchronously; fetch after the loop so the
         # device pipeline never stalls on host transfers
         pending.append(
-            (n, render_fn(params, alpha_mask, jnp.asarray(part), aabb, masks))
+            (n, render_fn(params, alpha_mask, put(part), aabb, masks))
         )
     rgbs = [np.asarray(out[0][:n]) for n, out in pending]
     depths = [np.asarray(out[1][:n]) for n, out in pending]
@@ -298,6 +309,7 @@ def render_chunked_stratified(
     masks: FreeMasks = FreeMasks(),
     use_coarse_gate: bool = True,
     alive_stage: bool = False,
+    mesh=None,
 ):
     """Candidate-count-stratified eval rendering (round-3 serving path).
 
@@ -457,6 +469,7 @@ def render_chunked_stratified(
             aabb,
             chunk=chunk_b,
             masks=masks,
+            mesh=mesh,
         )
         rgb_sorted[start:end] = rgb_b
         depth_sorted[start:end] = depth_b

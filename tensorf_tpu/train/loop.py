@@ -518,6 +518,8 @@ def reconstruction(cfg: TrainConfig) -> str:
             # serving-side stratification has its own per-bucket budgets;
             # the fixed budget only applies on the uniform fallback path
             stratified=bool(cfg.stratify_render) and not ndc_ray,
+            # eval rides the same ray-batch DP mesh as training
+            mesh=mesh if n_dev > 1 else None,
             sample_budget=(
                 run_budget
                 if (

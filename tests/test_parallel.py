@@ -230,3 +230,44 @@ def test_shard_ray_store_per_host(monkeypatch):
     # global batch must divide by host count
     with pytest.raises(ValueError):
         pmesh.shard_ray_store_per_host(rays, rgbs, 63)
+
+
+def test_sharded_serving_matches_single_device(rng):
+    """Ray-batch DP serving: the stratified eval renderer with chunk rays
+    sharded over the 8-device mesh must reproduce the single-device
+    render (GSPMD replicates params/mask; only the rays are sharded)."""
+    from tensorf_tpu.models import FIELD_MODELS, ModelConfig
+    from tensorf_tpu.models.alpha_mask import AlphaGridMask, with_dilation
+    from tensorf_tpu.render.chunked import render_chunked_stratified
+
+    cfg = ModelConfig(
+        model_name="TensorVMSplit", density_n_comp=(4, 4, 4),
+        app_n_comp=(6, 6, 6), app_dim=9, shading_mode="MLP_Fea",
+        pos_pe=2, view_pe=2, fea_pe=2, feature_c=32, density_shift=-3.0,
+    )
+    model = FIELD_MODELS[cfg.model_name]
+    aabb = jnp.asarray([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]])
+    params = model.init(jax.random.PRNGKey(0), cfg, (12, 12, 12))
+    vol = (np.random.default_rng(7).uniform(size=(10, 10, 10)) < 0.35)
+    mask = with_dilation(
+        AlphaGridMask(aabb=aabb, volume=jnp.asarray(vol.astype(np.float32)))
+    )
+    o = rng.normal(size=(300, 3))
+    o = 4.0 * o / np.linalg.norm(o, axis=-1, keepdims=True)
+    rays = np.concatenate(
+        [o, -o / np.linalg.norm(o, axis=-1, keepdims=True)], -1
+    ).astype(np.float32)
+
+    kw = dict(
+        step_size=0.05, n_samples=128, white_bg=True, ndc_ray=False,
+        chunk=128,
+    )
+    rgb_1, depth_1, _, _ = render_chunked_stratified(
+        model, cfg, params, mask, rays, aabb, **kw
+    )
+    mesh = make_mesh()
+    rgb_8, depth_8, _, _ = render_chunked_stratified(
+        model, cfg, params, mask, rays, aabb, mesh=mesh, **kw
+    )
+    np.testing.assert_allclose(rgb_8, rgb_1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(depth_8, depth_1, rtol=1e-4, atol=1e-4)
