@@ -323,16 +323,26 @@ def _candidate_and_chord_counts(
     the slab test, window validity is `window_start < chord`, and probe
     positions are computed directly with the same arithmetic
     sample_along_rays uses at those indices (xyz = o + (t0 + i*step)*d).
-    FP boundary disagreement with the per-sample inside test is ±1
-    sample — inside the +8 budget-hint / tier-snap slack the consumers
-    already carry for batch-shape FP jitter.
+
+    The closed form can disagree with the renderer's per-sample
+    inside-aabb test by one sample at FP boundaries, and the serving
+    consumers size tiers / chord-capped lattices / the zero-skip
+    DIRECTLY from these counts — so both statistics are reported
+    CONSERVATIVELY (+1 chord sample, +1 candidate window on hitting
+    rays): the render can only ever pay less than promised, never more,
+    keeping 'exact by construction' true at a ~1% padding cost.  Rays
+    that miss the bbox report exact zeros (the zero-skip majority).
     """
     o, d = rays[:, :3], rays[:, 3:6]
     t_min, t_max = aabb_entry_exit(o, d, aabb)
     t0 = jnp.clip(t_min, near, far)
-    n_in = jnp.floor((t_max - t0) / step_size) + 1.0
+    # a ray samples the box iff the slab test hits (t_max >= t_min) AND
+    # the hit interval reaches past the clipped start t0 — without the
+    # first clause a miss with t_min > far would alias to a false chord
+    hit = (t_max >= t_min) & (t_max >= t0)
+    n_in = jnp.floor((t_max - t0) / step_size) + 2.0  # +1 FP slack
     chord = jnp.clip(
-        jnp.where(t_max >= t0, n_in, 0.0), 0, n_samples
+        jnp.where(hit, n_in, 0.0), 0, n_samples
     ).astype(jnp.int32)
 
     pidx = coarse_probe_indices(n_samples)  # static (n_probe,)
@@ -342,9 +352,16 @@ def _candidate_and_chord_counts(
     starts = jnp.asarray(
         np.arange(pidx.shape[0]) * COARSE_STRIDE, jnp.int32
     )
-    wvalid = starts[None, :] < chord[:, None]
+    wvalid = hit[:, None] & (starts[None, :] < chord[:, None])
     cand_padded = COARSE_STRIDE * jnp.sum(
         (hits & wvalid).astype(jnp.int32), axis=-1
+    )
+    # +1-window slack on nonzero counts (never inflate true zeros: the
+    # zero-skip composite depends on them)
+    cand_padded = jnp.where(
+        cand_padded > 0,
+        jnp.minimum(cand_padded + COARSE_STRIDE, n_samples),
+        0,
     )
     return cand_padded, chord
 

@@ -508,8 +508,16 @@ def test_probe_only_counts_match_full_lattice(setup, rng):
         group_padded_count(valid & sample_alpha_gate_coarse(mask, xyz))
     )
     full_chord = np.asarray(jnp.sum(valid.astype(jnp.int32), axis=-1))
-    assert np.abs(cand - full_cand).max() <= COARSE_STRIDE
-    assert np.abs(chord - full_chord).max() <= 1
+    # conservative by construction: the probe-only pass must never
+    # under-report what the renderer pays (tiers/lattices/zero-skip are
+    # sized directly from it), and over-reports by at most the built-in
+    # +1-window / +1-sample FP slack
+    assert (np.minimum(cand, NS) >= full_cand).all()
+    assert (cand <= full_cand + 2 * COARSE_STRIDE).all()
+    assert (chord >= full_chord).all()
+    assert (chord <= full_chord + 2).all()
+    # zero-skip soundness: reported zero must imply render-side zero
+    assert (full_cand[cand == 0] == 0).all()
 
 
 def test_stratified_chord_cap_exact(setup, rng):
