@@ -379,9 +379,48 @@ def weighted_rays_per_sec(phase_times, batch):
     return TOTAL_ITERS * batch / total_time
 
 
+def _device_or_die(timeout_s: float = 600.0):
+    """Fail fast (with one well-formed JSON line) if the device never
+    answers — the tunneled chip can wedge (r3: a 5+ hour outage where
+    backend init blocked forever), and a hung bench is worse than an
+    explicit error the driver can record."""
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            print(
+                json.dumps(
+                    {
+                        "metric": "train_rays_per_sec_per_chip",
+                        "value": 0.0,
+                        "unit": "rays/s",
+                        "vs_baseline": 0.0,
+                        "error": (
+                            f"device unreachable: backend init/first op "
+                            f"did not complete within {timeout_s:.0f}s "
+                            "(tunnel outage); see BENCH_SELF_r03.json "
+                            "for the last self-measured numbers"
+                        ),
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(1)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    import jax
+    import jax.numpy as jnp
+
+    jax.device_get(jnp.zeros(()))  # forces backend init + one round trip
+    done.set()
+
+
 def main():
     from tensorf_tpu.models.config import cal_n_samples
 
+    _device_or_die()
     params_bench = load_params()
     batch = 4096
 
