@@ -61,6 +61,7 @@ from ..render.culling import (
     compute_alpha_grid,
     count_ray_candidates,
     count_ray_candidates_and_alive,
+    count_ray_candidates_and_chord,
     count_ray_inbbox,
     filter_rays_alpha,
     filter_rays_bbox,
@@ -401,8 +402,25 @@ def reconstruction(cfg: TrainConfig) -> str:
             chord_counts = counts
             alive_counts = None
         elif coarse_ok():
-            counts, alive_counts, chord_counts = (
-                count_ray_candidates_and_alive(
+            if bool(cfg.stratify_alive):
+                # alive-primary A/B path: needs the exact-gate alive
+                # counts (one gathered row per lattice sample)
+                counts, alive_counts, chord_counts = (
+                    count_ray_candidates_and_alive(
+                        allrays,
+                        state.alpha_mask,
+                        state.geometry.aabb_np,
+                        state.geometry.step_size,
+                        near_far,
+                        n_samples=state.n_samples,
+                    )
+                )
+            else:
+                # production path: candidate strata + chord lattices only
+                # — the probe-only pass touches one mask row per
+                # COARSE_STRIDE samples and no (B, N, 3) lattice, ~5x
+                # cheaper per schedule event on multi-million-ray stores
+                counts, chord_counts = count_ray_candidates_and_chord(
                     allrays,
                     state.alpha_mask,
                     state.geometry.aabb_np,
@@ -410,7 +428,7 @@ def reconstruction(cfg: TrainConfig) -> str:
                     near_far,
                     n_samples=state.n_samples,
                 )
-            )
+                alive_counts = None
         else:
             # without a valid coarse gate the step selects candidates with
             # the exact gate (one stage) — no second compaction to size
