@@ -163,6 +163,14 @@ class TrainConfig:
     stratify_alive: int = 0
     n_devices: int = 0  # 0 = all visible devices (ray-batch DP)
     distributed: bool = False  # jax.distributed.initialize() (multi-host)
+    # --- failure detection / recovery (reference has none; SURVEY §5) ---
+    # continue from the newest checkpoint in the logfolder (iteration,
+    # optimizer state, schedule position all restored)
+    resume: int = 0
+    # wedge watchdog: if no train-loop progress AND no compile-cache write
+    # for this long, log and exit resumable (code 17); 0 disables.  The
+    # default sits above the longest observed legitimate remote compile.
+    wedge_timeout_s: float = 900.0
     profile_dir: str = ""  # dump a jax.profiler trace here when set
     profile_start: int = 50  # first profiled step
     profile_steps: int = 5  # number of profiled steps

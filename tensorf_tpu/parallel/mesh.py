@@ -74,6 +74,36 @@ def shard_ray_store_per_host(allrays, allrgbs, global_batch: int):
     return allrays[p::n_proc], allrgbs[p::n_proc], global_batch // n_proc
 
 
+def host_allsum(vec: np.ndarray) -> np.ndarray:
+    """Element-wise sum of a fixed-shape host-local array across all
+    processes (identity single-process).
+
+    Used to build the GLOBAL candidate-count histogram every host derives
+    identical stratification statics from: under multi-host SPMD each
+    process must compile the same step program and sub-batch shapes, but
+    the ray store is sharded per host (shard_ray_store_per_host), so
+    host-local stratum edges/budgets/quotas would diverge.
+    """
+    if jax.process_count() <= 1:
+        return np.asarray(vec)
+    from jax.experimental import multihost_utils
+
+    g = multihost_utils.process_allgather(np.asarray(vec))
+    return np.asarray(g).sum(axis=0)
+
+
+def host_allmax(vec: np.ndarray) -> np.ndarray:
+    """Element-wise max across all processes (identity single-process);
+    used for per-stratum chord maxima so lattice caps agree on every host.
+    """
+    if jax.process_count() <= 1:
+        return np.asarray(vec)
+    from jax.experimental import multihost_utils
+
+    g = multihost_utils.process_allgather(np.asarray(vec))
+    return np.asarray(g).max(axis=0)
+
+
 def batch_sharding(mesh: Optional[Mesh], axis: str = "data"):
     if mesh is None:
         return None

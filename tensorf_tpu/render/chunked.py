@@ -332,6 +332,27 @@ def render_chunked_stratified(
     gate quadruples count-pass rows; ``alive_stage=True`` restores the
     exact count + per-bucket alive second stage, measured marginal).
     """
+    if ndc_ray:
+        # The candidate-count passes march the non-NDC slab — counts would
+        # be wrong for NDC rays (rays wrongly zero-skipped to background).
+        # All in-repo constructors guard on `not ndc_ray`; make the
+        # contract explicit for external callers by falling back to the
+        # uniform-chunk driver, which is exact for NDC.
+        fn = make_render_fn(
+            model,
+            cfg,
+            step_size=step_size,
+            n_samples=n_samples,
+            white_bg=white_bg,
+            ndc_ray=True,
+            shade_top_k=shade_top_k,
+            fused=fused,
+            use_coarse_gate=False,
+        )
+        return render_chunked(
+            fn, params, alpha_mask, rays, aabb,
+            chunk=chunk, masks=masks, mesh=mesh,
+        )
     # no import cycle: culling imports render.volume only
     from .culling import (
         count_ray_candidates,

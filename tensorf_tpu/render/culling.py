@@ -499,7 +499,31 @@ def _budget_hint(max_count: int) -> int:
     return int(max(32, -(-(int(max_count) + 8) // 32) * 32))
 
 
-def _optimal_edges(counts: np.ndarray, max_strata: int = 6,
+def count_histogram(counts: np.ndarray, length: Optional[int] = None
+                    ) -> np.ndarray:
+    """int64 histogram ``hist[v] = #rays with count v``.  ``length`` fixes
+    the array length (``length + 1`` bins) so per-host histograms can be
+    summed element-wise across processes (multi-host stratification sync).
+    """
+    counts = np.asarray(counts, np.int64)
+    minlength = (length + 1) if length is not None else 0
+    return np.bincount(counts, minlength=minlength).astype(np.int64)
+
+
+def _hist_quantile(hist: np.ndarray, q: float) -> float:
+    """``np.quantile`` (linear interpolation) of the integer population a
+    histogram describes, without materializing it."""
+    cum = np.cumsum(hist)
+    n = int(cum[-1])
+    pos = q * (n - 1)
+    lo = int(np.floor(pos))
+    hi = int(np.ceil(pos))
+    v_lo = int(np.searchsorted(cum, lo + 1))  # sorted element at index lo
+    v_hi = int(np.searchsorted(cum, hi + 1))
+    return v_lo + (pos - lo) * (v_hi - v_lo)
+
+
+def _optimal_edges(hist: np.ndarray, max_strata: int = 6,
                    stratum_penalty: float = 0.01):
     """Budget-class partition minimizing the expected per-ray budget.
 
@@ -510,14 +534,22 @@ def _optimal_edges(counts: np.ndarray, max_strata: int = 6,
     charges each extra stratum 1% of total cost (a sub-batch render has
     some fixed per-call cost), which also picks the stratum COUNT.
 
-    Returns upper-inclusive count edges (ascending, last == counts.max()).
+    Operates on a count histogram (see count_histogram) so multi-host runs
+    can feed the globally summed histogram and derive identical edges on
+    every process.  Returns upper-inclusive count edges (ascending, last ==
+    max observed count).
     """
-    counts = np.asarray(counts, np.int64)
-    classes = np.maximum(32, -((counts + 8) // -32) * 32)  # _budget_hint
-    uniq, freq = np.unique(classes, return_counts=True)
+    hist = np.asarray(hist, np.int64)
+    values = np.nonzero(hist)[0].astype(np.int64)
+    vfreq = hist[values]
+    vclasses = np.maximum(32, -((values + 8) // -32) * 32)  # _budget_hint
+    uniq = np.unique(vclasses)
+    freq = np.asarray(
+        [int(vfreq[vclasses == c].sum()) for c in uniq], np.int64
+    )
     m = uniq.size
     if m == 1:
-        return [int(counts.max())]
+        return [int(values.max())]
     pref = np.concatenate([[0], np.cumsum(freq)])
     S_max = min(max_strata, m)
     INF = float("inf")
@@ -534,7 +566,7 @@ def _optimal_edges(counts: np.ndarray, max_strata: int = 6,
                 if c < dp[s][j]:
                     dp[s][j] = c
                     choice[s][j] = i
-    total = float(counts.size)
+    total = float(vfreq.sum())
     best_s = min(
         range(1, S_max + 1),
         key=lambda s: dp[s][m] / total * (1.0 + stratum_penalty * s),
@@ -550,55 +582,98 @@ def _optimal_edges(counts: np.ndarray, max_strata: int = 6,
     for j in cuts:
         b = uniq[j - 1]  # stratum budget class
         # the largest actual count in this class
-        edges.append(int(counts[classes <= b].max()))
-    edges[-1] = int(counts.max())
+        edges.append(int(values[vclasses <= b].max()))
+    edges[-1] = int(values.max())
     return sorted(set(edges))
+
+
+def stratify_edges(hist: np.ndarray, quantiles=None,
+                   min_frac: float = 0.01):
+    """Stratum plan from a count histogram: (lo, hi] count intervals,
+    per-stratum population sizes, and padded budget hints.
+
+    A pure function of the histogram — processes that share a (summed)
+    histogram derive IDENTICAL strata structure, budgets, and quotas, which
+    multi-host SPMD requires (every process must compile the same step
+    program; the host-local ray stores differ).  Single-host
+    ``stratify_rays`` is a thin wrapper.
+
+    ``quantiles=None`` (default) uses the cost-optimal DP partition
+    (_optimal_edges); a quantile tuple forces explicit edges.  Strata
+    smaller than ``min_frac`` of the population merge into their higher
+    neighbor, and adjacent strata with equal budgets merge (a sub-batch
+    render has fixed per-call cost; slivers aren't worth one).
+    """
+    hist = np.asarray(hist, np.int64)
+    values = np.nonzero(hist)[0]
+    assert values.size, "empty count histogram"
+    vmax = int(values.max())
+    if quantiles is None:
+        bnds = _optimal_edges(hist)
+    else:
+        edges = sorted({int(_hist_quantile(hist, q)) for q in quantiles})
+        bnds = edges + [vmax]
+    cum = np.cumsum(hist)
+
+    def size_of(lo: int, hi: int) -> int:  # population with count in (lo, hi]
+        top = int(cum[min(hi, cum.size - 1)])
+        bot = int(cum[lo]) if lo >= 0 else 0
+        return top - bot
+
+    raw = []
+    lo = -1
+    for e in bnds:
+        if size_of(lo, e):
+            raw.append([lo, e])
+        lo = e
+    # merge slivers upward (the last stratum merges downward)
+    min_n = max(1, int(min_frac * int(cum[-1])))
+    bounds = []
+    for b in raw:
+        bounds.append(b)
+        if len(bounds) >= 2 and size_of(*bounds[-2]) < min_n:
+            prev = bounds.pop(-2)
+            bounds[-1][0] = prev[0]
+    if len(bounds) >= 2 and size_of(*bounds[-1]) < min_n:
+        last = bounds.pop(-1)
+        bounds[-1][1] = last[1]
+
+    def max_in(lo: int, hi: int) -> int:
+        return int(values[(values > lo) & (values <= hi)].max())
+
+    budgets = [_budget_hint(max_in(*b)) for b in bounds]
+    # adjacent strata that rounded to the SAME budget gain nothing from
+    # separate sub-batches — merge
+    i = 0
+    while i + 1 < len(bounds):
+        if budgets[i] == budgets[i + 1]:
+            bounds[i][1] = bounds[i + 1][1]
+            bounds.pop(i + 1)
+            budgets.pop(i)
+        else:
+            i += 1
+    sizes = [size_of(*b) for b in bounds]
+    return [tuple(b) for b in bounds], sizes, budgets
+
+
+def strata_from_bounds(counts: np.ndarray, bounds):
+    """Index arrays of the rays whose count falls in each (lo, hi] bound."""
+    counts = np.asarray(counts)
+    return [
+        np.nonzero((counts > lo) & (counts <= hi))[0] for lo, hi in bounds
+    ]
 
 
 def stratify_rays(counts: np.ndarray, quantiles=None,
                   min_frac: float = 0.01):
-    """Partition ray indices into strata by candidate count.
-
-    ``quantiles=None`` (default) uses the cost-optimal DP partition
-    (_optimal_edges); a quantile tuple forces explicit edges.  Returns
-    (list of index arrays low->high, list of per-stratum candidate budget
-    hints).  Strata smaller than ``min_frac`` of the store merge into
-    their higher neighbor (a sub-batch render has fixed per-call cost;
-    slivers aren't worth one).
-    """
+    """Partition ray indices into strata by candidate count (single-host
+    wrapper over stratify_edges).  Returns (list of index arrays
+    low->high, list of per-stratum candidate budget hints)."""
     counts = np.asarray(counts)
-    if quantiles is None:
-        bounds = _optimal_edges(counts)
-    else:
-        edges = sorted({int(np.quantile(counts, q)) for q in quantiles})
-        bounds = edges + [int(counts.max())]
-    raw = []
-    lo = -1
-    for e in bounds:
-        sel = np.nonzero((counts > lo) & (counts <= e))[0]
-        if sel.size:
-            raw.append(sel)
-        lo = e
-    # merge slivers upward (the last stratum merges downward)
-    min_n = max(1, int(min_frac * counts.size))
-    strata = []
-    for sel in raw:
-        strata.append(sel)
-        if len(strata) >= 2 and strata[-2].size < min_n:
-            strata[-1] = np.concatenate([strata.pop(-2), strata[-1]])
-    if len(strata) >= 2 and strata[-1].size < min_n:
-        strata[-2] = np.concatenate([strata[-2], strata.pop(-1)])
-    budgets = [_budget_hint(counts[sel].max()) for sel in strata]
-    # adjacent strata that rounded to the SAME budget gain nothing from
-    # separate sub-batches (each sub-render has fixed per-call cost) — merge
-    i = 0
-    while i + 1 < len(strata):
-        if budgets[i] == budgets[i + 1]:
-            strata[i] = np.concatenate([strata[i], strata.pop(i + 1)])
-            budgets.pop(i)
-        else:
-            i += 1
-    return strata, budgets
+    bounds, _, budgets = stratify_edges(
+        count_histogram(counts), quantiles=quantiles, min_frac=min_frac
+    )
+    return strata_from_bounds(counts, bounds), budgets
 
 
 def stratify_rays_joint(cand_counts: np.ndarray, alive_counts: np.ndarray,

@@ -50,6 +50,8 @@ from ..models.config import (
 from ..models.tensorf import FIELD_MODELS
 from ..ops.freq_mask import free_masks
 from ..parallel.mesh import (
+    host_allmax,
+    host_allsum,
     make_mesh,
     replicate,
     shard_ray_store_per_host,
@@ -59,17 +61,21 @@ from ..models.alpha_mask import coarse_gate_valid
 from ..render.culling import (
     _budget_hint,
     compute_alpha_grid,
+    count_histogram,
     count_ray_candidates,
     count_ray_candidates_and_alive,
     count_ray_candidates_and_chord,
     count_ray_inbbox,
     filter_rays_alpha,
     filter_rays_bbox,
+    strata_from_bounds,
+    stratify_edges,
     stratify_rays,
     stratify_rays_joint,
     update_alpha_mask,
 )
-from ..utils.ckpt import load_checkpoint, save_checkpoint
+from ..utils.ckpt import load_checkpoint, load_opt_leaves, save_checkpoint
+from ..utils.watchdog import Watchdog
 from .losses import LossWeights
 from .optim import make_optimizer
 from .sampler import SimpleSampler, StratifiedSampler, allocate_quotas
@@ -84,12 +90,34 @@ def _make_logfolder(cfg: TrainConfig) -> str:
 
     date = datetime.now(ZoneInfo("Asia/Ho_Chi_Minh")).strftime("%Y-%m-%d")
     logfolder = f"{cfg.basedir}/{date}/{cfg.expname}"
-    if cfg.overwrt and os.path.exists(logfolder):
+    if cfg.overwrt and not cfg.resume and os.path.exists(logfolder):
         shutil.rmtree(logfolder)
     os.makedirs(logfolder, exist_ok=True)
     for sub in ("imgs_vis", "imgs_rgba", "rgba"):
         os.makedirs(f"{logfolder}/{sub}", exist_ok=True)
     return logfolder
+
+
+def _latest_ckpt(logfolder: str) -> Optional[str]:
+    """Newest .npz checkpoint in the logfolder (mtime order) that carries a
+    resume position, for ``--resume 1`` wedge recovery."""
+    import glob
+    import json
+
+    cands = sorted(
+        glob.glob(f"{logfolder}/*.npz"), key=os.path.getmtime, reverse=True
+    )
+    for path in cands:
+        if os.path.basename(path) == "history.npz":
+            continue
+        try:
+            data = np.load(path, allow_pickle=False)
+            kwargs = json.loads(bytes(data["kwargs"]).decode())
+            if "iteration" in (kwargs.get("extra") or {}):
+                return path
+        except Exception:
+            continue
+    return None
 
 
 def _summary_writer(logfolder: str):
@@ -182,12 +210,25 @@ def reconstruction(cfg: TrainConfig) -> str:
     key = jax.random.PRNGKey(cfg.seed)
 
     # ---- model init / resume (train.py:218-247) ----
+    # --resume 1: wedge recovery — continue the run in this logfolder from
+    # its newest periodic checkpoint (iteration, optimizer state, and
+    # schedule position restored; the reference can only reload params)
+    resume_extra = None
+    if cfg.resume and not cfg.ckpt_path:
+        found = _latest_ckpt(logfolder)
+        if found:
+            cfg.ckpt_path = found
+            print(f"[resume] newest checkpoint: {found}")
+        else:
+            print(f"[resume] no checkpoint under {logfolder} — fresh start")
     if cfg.ckpt_path:
-        model_cfg, state.params, aabb, grid_size, state.alpha_mask, _ = (
+        model_cfg, state.params, aabb, grid_size, state.alpha_mask, ck_extra = (
             load_checkpoint(cfg.ckpt_path)
         )
         model = FIELD_MODELS[model_cfg.model_name]
         print(f"resumed from {cfg.ckpt_path} (grid {grid_size})")
+        if cfg.resume and ck_extra and "iteration" in ck_extra:
+            resume_extra = ck_extra
     else:
         key, sub = jax.random.split(key)
         state.params = model.init(sub, model_cfg, grid_size)
@@ -196,6 +237,19 @@ def reconstruction(cfg: TrainConfig) -> str:
     state.n_samples = min(
         int(cfg.nSamples), cal_n_samples(grid_size, cfg.step_ratio)
     )
+    start_iter = 0
+    lr_scale_cur = 1.0
+    if resume_extra is not None:
+        start_iter = int(resume_extra["iteration"]) + 1
+        # n_samples is NOT derivable from the grid alone (shrink events
+        # change geometry without touching it) — restore the saved value
+        state.n_samples = int(resume_extra.get("n_samples", state.n_samples))
+        lr_scale_cur = float(resume_extra.get("lr_scale", 1.0))
+        key = jax.random.PRNGKey(cfg.seed + start_iter)
+        print(
+            f"[resume] continuing at iteration {start_iter} "
+            f"(n_samples {state.n_samples}, lr_scale {lr_scale_cur:g})"
+        )
 
     # ---- optimizer (train.py:263-273) ----
     if cfg.lr_decay_iters > 0:
@@ -208,8 +262,32 @@ def reconstruction(cfg: TrainConfig) -> str:
     )
 
     optimizer, state.opt_state = make_optimizer(
-        state.params, cfg.lr_init, cfg.lr_basis, lr_factor
+        state.params,
+        cfg.lr_init * lr_scale_cur,
+        cfg.lr_basis * lr_scale_cur,
+        lr_factor,
     )
+    if resume_extra is not None:
+        # restore optimizer state by leaf order against the fresh treedef
+        # (moments + the schedule step count, so LR decay continues where
+        # it left off)
+        leaves = load_opt_leaves(cfg.ckpt_path)
+        if leaves is not None:
+            fresh_leaves, treedef = jax.tree_util.tree_flatten(
+                state.opt_state
+            )
+            if len(leaves) == len(fresh_leaves) and all(
+                a.shape == b.shape for a, b in zip(leaves, fresh_leaves)
+            ):
+                state.opt_state = jax.tree_util.tree_unflatten(
+                    treedef, leaves
+                )
+                print("[resume] optimizer state restored")
+            else:
+                print(
+                    "[resume] optimizer state mismatch — reinitialized "
+                    f"({len(leaves)} vs {len(fresh_leaves)} leaves)"
+                )
 
     # ---- device mesh (ray-batch DP; params replicated) ----
     mesh = make_mesh(cfg.n_devices)
@@ -243,14 +321,42 @@ def reconstruction(cfg: TrainConfig) -> str:
     allrays, allrgbs, local_batch = shard_ray_store_per_host(
         allrays, allrgbs, cfg.batch_size
     )
+    if (
+        resume_extra is not None
+        and not ndc_ray
+        and state.alpha_mask is not None
+        and len(cfg.update_AlphaMask_list) > 1
+        and start_iter > cfg.update_AlphaMask_list[1]
+    ):
+        # the original run re-filtered the store at the second alpha-mask
+        # event; reproduce that state from the restored mask
+        allrays, allrgbs = filter_rays_alpha(
+            allrays,
+            allrgbs,
+            state.alpha_mask,
+            state.geometry.aabb_np,
+            state.geometry.step_size,
+            near_far,
+        )
+        print(f"[resume] store re-filtered to {allrays.shape[0]} rays")
     sampler = SimpleSampler(
-        allrays.shape[0], local_batch, cfg.seed + jax.process_index()
+        allrays.shape[0],
+        local_batch,
+        cfg.seed + start_iter + jax.process_index(),
     )
     store_rays_d = put_store(allrays)
     store_rgbs_d = put_store(allrgbs)
 
     l1_weight = cfg.L1_weight_inital
     ratio = cfg.mask_ratio_list[0] if cfg.mask_ratio_list else 1.0
+    if resume_extra is not None:
+        # schedule position: weights/ratios as of the saved iteration, and
+        # the upsample schedule advanced past already-applied events
+        l1_weight = float(resume_extra.get("l1_weight", l1_weight))
+        ratio = float(resume_extra.get("ratio", ratio))
+        n_voxel_list = n_voxel_list[
+            sum(1 for i in cfg.upsamp_list if i < start_iter):
+        ]
 
     # Budget state with self-verification: each active budget auto-raises
     # (next multiple of 32, capped at the lattice) whenever its overflow
@@ -263,6 +369,12 @@ def reconstruction(cfg: TrainConfig) -> str:
     #   * prefilter_run in the mask-free phase.
     run_budget = cfg.sample_budget if cfg.sample_budget > 0 else 0
     prefilter_run = cfg.prefilter_budget if cfg.prefilter_budget > 0 else 0
+    if resume_extra is not None:
+        # auto-raised budgets carry over (re-raising would waste retraces)
+        run_budget = int(resume_extra.get("run_budget", run_budget))
+        prefilter_run = int(
+            resume_extra.get("prefilter_run", prefilter_run)
+        )
     strata_budgets: Optional[list] = None  # None = unstratified
     strata_alive_budgets: Optional[list] = None  # stage-2 exact-alive caps
     strata_n_samples: Optional[tuple] = None  # per-stratum chord lattices
@@ -446,6 +558,13 @@ def reconstruction(cfg: TrainConfig) -> str:
         quantiles = (
             tuple(cfg.strata_quantiles) if cfg.strata_quantiles else None
         )
+        n_proc = jax.process_count()
+        if n_proc > 1:
+            # alive-primary joint stratification is a single-host A/B tool
+            # (default off, measured negative in r3); the production
+            # candidate-primary path below has a synchronized multi-host
+            # variant, the joint path does not
+            alive_counts = None
         if alive_counts is not None and bool(cfg.stratify_alive):
             # Alive-primary joint stratification: strata partitioned by
             # exact-alive count (what the expensive wide rows pay), each
@@ -457,16 +576,42 @@ def reconstruction(cfg: TrainConfig) -> str:
             strata, budgets, alive_hints = stratify_rays_joint(
                 counts, alive_counts, quantiles=quantiles
             )
+            quota_sizes = [s.size for s in strata]
+        elif n_proc > 1:
+            # Multi-host SPMD sync: the ray store is sharded per host, so
+            # host-local edges/budgets/quotas (all STATIC ints baked into
+            # the compiled step) would diverge across processes -> mismatched
+            # programs/collectives.  Derive everything from the globally
+            # summed count histogram instead: identical statics everywhere.
+            hist = host_allsum(
+                count_histogram(counts, length=state.n_samples)
+            )
+            bounds, g_sizes, budgets = stratify_edges(
+                hist, quantiles=quantiles
+            )
+            strata = strata_from_bounds(counts, bounds)
+            for i, sel in enumerate(strata):
+                if sel.size == 0:
+                    # this host has no rays in a globally non-empty
+                    # stratum: borrow lower-count rays (they fit the
+                    # budget exactly); the full local store only as a
+                    # monitored last resort (overflow strikes raise it)
+                    pool = np.nonzero(counts <= bounds[i][1])[0]
+                    strata[i] = pool if pool.size else np.arange(counts.size)
+            # quotas from GLOBAL sizes so every host draws the same
+            # per-stratum sub-batch shapes (SimpleSampler tiles if a local
+            # stratum is smaller than its quota)
+            quota_sizes = g_sizes
+            alive_hints = None
         else:
             strata, budgets = stratify_rays(counts, quantiles=quantiles)
+            quota_sizes = [s.size for s in strata]
             alive_hints = None
         if len(strata) * quota_round > local_batch:
             print(f"[{iteration}] stratify skipped (batch too small)")
             deactivate()
             return False
-        quotas = allocate_quotas(
-            [s.size for s in strata], local_batch, quota_round
-        )
+        quotas = allocate_quotas(quota_sizes, local_batch, quota_round)
         strata_budgets = [
             b if b < state.n_samples else None for b in budgets
         ]
@@ -475,9 +620,16 @@ def reconstruction(cfg: TrainConfig) -> str:
         # n_samples=C lattice — the fixed lattice work (sampling, probes,
         # window top-k) shrinks by C/n_samples per stratum.
         if chord_counts is not None:
+            chord_max = np.asarray(
+                [int(chord_counts[sel].max()) for sel in strata], np.int64
+            )
+            if n_proc > 1:
+                # lattice caps are static too: take the cross-host max so
+                # every process compiles the same per-stratum lattice
+                chord_max = host_allmax(chord_max)
             strata_n_samples = tuple(
-                min(state.n_samples, _budget_hint(chord_counts[sel].max()))
-                for sel in strata
+                min(state.n_samples, _budget_hint(int(c)))
+                for c in chord_max
             )
         else:
             strata_n_samples = None
@@ -516,7 +668,7 @@ def reconstruction(cfg: TrainConfig) -> str:
 
     # partition the store up front: by in-bbox chord counts in the
     # prefilter phase, by mask candidate counts when resumed mid-schedule
-    restratify(0)
+    restratify(start_iter)
     step_fn = make_train_step(model, model_cfg, build_statics(), optimizer)
 
     def make_handle() -> RendererHandle:
@@ -548,7 +700,22 @@ def reconstruction(cfg: TrainConfig) -> str:
             ),
         )
 
-    def save_ckpt(path: str):
+    def save_ckpt(path: str, iteration: Optional[int] = None):
+        """``iteration`` set -> a resumable checkpoint: schedule position +
+        optimizer state ride along (--resume 1 wedge recovery)."""
+        extra = None
+        opt = None
+        if iteration is not None:
+            extra = {
+                "iteration": int(iteration),
+                "n_samples": int(state.n_samples),
+                "l1_weight": float(l1_weight),
+                "ratio": float(ratio),
+                "lr_scale": float(lr_scale_cur),
+                "run_budget": int(run_budget),
+                "prefilter_run": int(prefilter_run),
+            }
+            opt = jax.device_get(state.opt_state)
         save_checkpoint(
             path,
             model_cfg,
@@ -556,6 +723,8 @@ def reconstruction(cfg: TrainConfig) -> str:
             state.geometry.aabb_np,
             state.geometry.grid_size,
             state.alpha_mask,
+            extra=extra,
+            opt_state=opt,
         )
 
     # ---- the loop (train.py:296-485, intended semantics) ----
@@ -565,7 +734,27 @@ def reconstruction(cfg: TrainConfig) -> str:
     rays_done = 0
     aabb_j = jnp.asarray(state.geometry.aabb_np)
 
-    for iteration in range(cfg.n_iters):
+    # wedge watchdog (r3 incident automation): beats once per iteration;
+    # compile-cache writes count as progress so long remote compiles never
+    # false-fire.  On stall it exits resumable (code 17) — relaunch with
+    # --resume 1 to continue from the newest periodic checkpoint.
+    watchdog = Watchdog(
+        cfg.wedge_timeout_s,
+        tag=cfg.expname,
+        resume_hint=(
+            f"python train.py ... --resume 1 (logfolder {logfolder})"
+        ),
+        cache_dirs=[
+            d for d in (
+                os.environ.get("JAX_COMPILATION_CACHE_DIR"),
+                "/tmp/jax_cache_tpu",
+                "/tmp/jax_cache",
+            ) if d
+        ],
+    ).start()
+
+    for iteration in range(start_iter, cfg.n_iters):
+        watchdog.beat()
         ids = sampler.nextids()
         # only the int32 ids cross the host link; the ray/rgb rows are
         # gathered on device from the resident store inside the step
@@ -824,6 +1013,7 @@ def reconstruction(cfg: TrainConfig) -> str:
                 )
                 aabb_j = jnp.asarray(state.geometry.aabb_np)
                 # param shapes changed -> fresh optimizer state
+                lr_scale_cur = 1.0
                 optimizer, state.opt_state = make_optimizer(
                     state.params, cfg.lr_init, cfg.lr_basis, lr_factor
                 )
@@ -888,6 +1078,7 @@ def reconstruction(cfg: TrainConfig) -> str:
                 lr_scale = cfg.lr_decay_target_ratio ** (
                     iteration / cfg.n_iters
                 )
+            lr_scale_cur = lr_scale
             optimizer, state.opt_state = make_optimizer(
                 state.params,
                 cfg.lr_init * lr_scale,
@@ -911,11 +1102,17 @@ def reconstruction(cfg: TrainConfig) -> str:
 
         # ---- periodic checkpoints (train.py:482-483) ----
         if iteration in (cfg.save_ckpt_every or []):
-            save_ckpt(f"{logfolder}/{iteration//1000}k_{cfg.expname}.npz")
+            save_ckpt(
+                f"{logfolder}/{iteration//1000}k_{cfg.expname}.npz",
+                iteration=iteration,
+            )
 
     # ---- finalization (train.py:487-544) ----
+    watchdog.stop()  # eval/export below has no per-iteration heartbeat
     final_path = f"{logfolder}/final_{cfg.expname}.npz"
-    save_ckpt(final_path)
+    # carries its position too: --resume on a finished run skips straight
+    # to finalization instead of retraining from the last periodic ckpt
+    save_ckpt(final_path, iteration=cfg.n_iters - 1)
     elapsed = time.time() - run_tic
     np.savetxt(f"{logfolder}/training_time.txt", np.asarray([elapsed]))
     print(f"Total time {elapsed:.2f}s.")

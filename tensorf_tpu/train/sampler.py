@@ -26,6 +26,15 @@ class SimpleSampler:
         self._rng = np.random.default_rng(seed)
 
     def nextids(self) -> np.ndarray:
+        if self.batch > self.total:
+            # oversampled tiny store (e.g. a stratum smaller than its
+            # quota): tile fresh permutations up to the batch size so the
+            # output shape stays fixed (no truncation -> no retrace)
+            reps = -(-self.batch // self.total)
+            ids = np.concatenate(
+                [self._rng.permutation(self.total) for _ in range(reps)]
+            )
+            return ids[: self.batch]
         self.curr += self.batch
         if self.curr + self.batch > self.total:
             self.ids = self._rng.permutation(self.total)
@@ -38,23 +47,48 @@ def allocate_quotas(
 ) -> List[int]:
     """Per-stratum batch quotas: proportional to stratum size, each a
     positive multiple of ``round_to`` (device-mesh shard alignment), summing
-    to ``batch`` (largest-remainder rounding, residual to the largest
-    stratum)."""
+    to ``batch`` (largest-remainder rounding).  Each quota is additionally
+    capped at its stratum's size (a quota beyond the stratum would make
+    SimpleSampler return a short id array and change the compiled sub-batch
+    shape); the residual is redistributed to strata with headroom."""
     assert batch % round_to == 0, (batch, round_to)
     assert len(sizes) * round_to <= batch, (sizes, batch, round_to)
     total = float(sum(sizes))
+
+    def cap(i: int) -> int:
+        # max quota stratum i can absorb: its size rounded down to round_to
+        # (but at least round_to — a stratum smaller than round_to keeps a
+        # round_to quota and oversamples; SimpleSampler tiles permutations
+        # so the output shape stays fixed).
+        return max(round_to, sizes[i] // round_to * round_to)
+
     raw = [batch * s / total for s in sizes]
-    quotas = [max(round_to, int(round(r / round_to)) * round_to) for r in raw]
-    # force the sum to `batch` by adjusting the largest stratum
+    quotas = [
+        min(cap(i), max(round_to, int(round(r / round_to)) * round_to))
+        for i, r in enumerate(raw)
+    ]
+    # force the sum to `batch`: distribute the residual over strata in
+    # descending size order, respecting each stratum's cap / floor
     diff = batch - sum(quotas)
     order = sorted(range(len(sizes)), key=lambda i: -sizes[i])
     for i in order:
-        take = max(diff, round_to - quotas[i])
-        quotas[i] += take
-        diff -= take
         if diff == 0:
             break
-    assert diff == 0 and all(q >= round_to for q in quotas), (quotas, batch)
+        if diff > 0:
+            take = min(diff, cap(i) - quotas[i])
+        else:
+            take = max(diff, round_to - quotas[i])
+        quotas[i] += take
+        diff -= take
+    if diff > 0:
+        # batch exceeds the total clamped capacity (tiny store): the
+        # largest stratum absorbs the rest and oversamples — SimpleSampler
+        # tiles permutations, so the sub-batch shape stays fixed
+        quotas[order[0]] += diff
+        diff = 0
+    assert diff == 0 and all(q >= round_to for q in quotas), (
+        quotas, sizes, batch
+    )
     return quotas
 
 

@@ -62,7 +62,12 @@ def save_checkpoint(
     grid_size,
     alpha_mask: Optional[AlphaGridMask] = None,
     extra: Optional[Dict[str, Any]] = None,
+    opt_state=None,
 ):
+    """``opt_state`` (any pytree, e.g. optax state) is stored as ordered
+    leaves — ``load_opt_leaves`` returns them for ``tree_unflatten`` against
+    a freshly initialized optimizer's treedef (mid-run --resume support;
+    the reference has no resume beyond reloading params)."""
     entries: Dict[str, np.ndarray] = {}
     _flatten("params", params, entries)
     kwargs = dataclasses.asdict(cfg)
@@ -75,7 +80,23 @@ def save_checkpoint(
     entries["aabb"] = np.asarray(aabb, np.float32).reshape(2, 3)
     if alpha_mask is not None:
         entries.update(pack_mask(alpha_mask))
+    if opt_state is not None:
+        import jax
+
+        leaves = jax.tree_util.tree_leaves(opt_state)
+        for i, leaf in enumerate(leaves):
+            entries[f"opt/{i:05d}"] = np.asarray(leaf)
     np.savez(path, **entries)
+
+
+def load_opt_leaves(path: str):
+    """Ordered optimizer-state leaves saved by ``save_checkpoint``
+    (None when the checkpoint carries no optimizer state)."""
+    data = np.load(path, allow_pickle=False)
+    keys = sorted(k for k in data.files if k.startswith("opt/"))
+    if not keys:
+        return None
+    return [jnp.asarray(data[k]) for k in keys]
 
 
 def load_checkpoint(path: str):

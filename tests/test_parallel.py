@@ -271,3 +271,80 @@ def test_sharded_serving_matches_single_device(rng):
     )
     np.testing.assert_allclose(rgb_8, rgb_1, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(depth_8, depth_1, rtol=1e-4, atol=1e-4)
+
+
+def test_host_reductions_identity_and_gathered(monkeypatch):
+    """host_allsum / host_allmax: identity single-process; element-wise
+    sum/max of the per-process gather under multi-host."""
+    from tensorf_tpu.parallel import mesh as pmesh
+
+    v = np.asarray([1, 2, 3], np.int64)
+    np.testing.assert_array_equal(pmesh.host_allsum(v), v)
+    np.testing.assert_array_equal(pmesh.host_allmax(v), v)
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    import jax.experimental.multihost_utils as mh
+
+    monkeypatch.setattr(
+        mh, "process_allgather", lambda x: np.stack([x, x * 3])
+    )
+    np.testing.assert_array_equal(pmesh.host_allsum(v), v * 4)
+    np.testing.assert_array_equal(pmesh.host_allmax(v), v * 3)
+
+
+def test_multihost_stratify_statics_agree():
+    """ADVICE r3 (medium): under multi-host the ray store is sharded per
+    host, so host-local stratification would bake DIFFERENT static
+    edges/budgets/quotas into each process's compiled step (mismatched
+    SPMD programs).  The sync path derives everything from the globally
+    summed count histogram: verify two skew-split hosts produce identical
+    statics, equal to the single-host plan over the union."""
+    from tensorf_tpu.render.culling import (
+        count_histogram,
+        strata_from_bounds,
+        stratify_edges,
+        stratify_rays,
+    )
+    from tensorf_tpu.train.sampler import allocate_quotas
+
+    rng = np.random.default_rng(3)
+    n_samples = 96
+    counts = np.concatenate([
+        np.zeros(1500, np.int64),
+        rng.integers(1, 40, 1600),
+        rng.integers(40, n_samples + 1, 900),
+    ])
+    # adversarial split: host 0 gets the low-count rays, host 1 the high
+    order = np.argsort(counts)
+    host_counts = [counts[order[:2500]], counts[order[2500:]]]
+
+    hists = [count_histogram(c, length=n_samples) for c in host_counts]
+    g_hist = hists[0] + hists[1]  # == host_allsum of the per-host hists
+    np.testing.assert_array_equal(
+        g_hist, count_histogram(counts, length=n_samples)
+    )
+
+    plans = []
+    for hc in host_counts:
+        bounds, sizes, budgets = stratify_edges(g_hist)
+        strata = strata_from_bounds(hc, bounds)
+        quotas = allocate_quotas(sizes, 256, 8)
+        plans.append((bounds, sizes, budgets, quotas, strata))
+
+    # every static (stratum count, edges, budgets, quotas) is identical
+    assert plans[0][:4] == plans[1][:4]
+    # and matches the single-host plan over the union store
+    u_strata, u_budgets = stratify_rays(counts)
+    assert plans[0][2] == u_budgets
+    assert plans[0][1] == [s.size for s in u_strata]
+    # per-host memberships partition each host's local rays
+    for (bounds, _, budgets, _, strata), hc in zip(plans, host_counts):
+        assert sum(s.size for s in strata) == hc.size
+        for sel, b in zip(strata, budgets):
+            if sel.size:
+                assert hc[sel].max() <= b
+    # the skew split leaves some strata host-locally empty (the scenario
+    # the restratify borrow path handles)
+    assert any(s.size == 0 for s in plans[0][4]) or any(
+        s.size == 0 for s in plans[1][4]
+    )

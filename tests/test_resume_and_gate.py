@@ -152,3 +152,126 @@ def test_count_and_stratify_rays():
     for sel, b in zip(strata, budgets):
         assert counts[sel].max() <= b
         assert b % 32 == 0
+
+
+def test_watchdog_fires_and_respects_beats_and_cache(tmp_path):
+    """Wedge watchdog (r3 incident automation): fires after the timeout
+    with no beats, does NOT fire while beats arrive, and treats recent
+    compile-cache writes as progress (long remote compiles never
+    false-fire)."""
+    import time
+
+    from tensorf_tpu.utils.watchdog import Watchdog
+
+    fired = []
+
+    # no beats -> fires (on_stall captured instead of os._exit)
+    wd = Watchdog(0.3, on_stall=fired.append, poll_s=0.05).start()
+    time.sleep(0.8)
+    wd.stop()
+    assert fired and fired[0] > 0.3
+
+    # steady beats -> never fires
+    fired.clear()
+    wd = Watchdog(0.3, on_stall=fired.append, poll_s=0.05).start()
+    for _ in range(10):
+        wd.beat()
+        time.sleep(0.1)
+    wd.stop()
+    assert not fired
+
+    # stalled beats but fresh cache writes -> no fire; stale cache -> fire
+    fired.clear()
+    cache = tmp_path / "jax_cache"
+    cache.mkdir()
+    wd = Watchdog(
+        0.4, on_stall=fired.append, poll_s=0.05, cache_dirs=[str(cache)]
+    ).start()
+    for i in range(8):  # ~0.8s stall, covered by cache writes
+        (cache / f"entry{i}").write_text("x")
+        time.sleep(0.1)
+    assert not fired
+    time.sleep(0.9)  # now both beat and cache are stale
+    wd.stop()
+    assert fired
+
+    # timeout 0 disables (never starts a thread)
+    wd = Watchdog(0.0, on_stall=fired.append).start()
+    assert wd._thread is None
+    wd.stop()
+
+
+def test_resume_continues_mid_run(tmp_path, capsys):
+    """--resume 1: a killed run continues from its newest resumable
+    checkpoint — iteration, optimizer state, schedule position, and the
+    alpha-filtered ray store all restored (VERDICT r3 #7; the reference
+    can only reload params and restart the schedule)."""
+    from functools import partial
+
+    from tensorf_tpu.config.schema import TrainConfig
+    from tensorf_tpu.data import dataset_dict
+    from tensorf_tpu.data.synthetic import make_synthetic_blender_scene
+    from tensorf_tpu.train.loop import reconstruction
+    from tensorf_tpu.utils.ckpt import load_checkpoint, load_opt_leaves
+
+    scene = str(tmp_path / "scene")
+    make_synthetic_blender_scene(scene, n_train=4, n_test=1, wh=(24, 24))
+
+    common = dict(
+        basedir=str(tmp_path / "log"),
+        datadir=scene,
+        dataset_name="blender",
+        model_name="TensorVMSplit",
+        shadingMode="MLP_Fea",
+        batch_size=256,
+        N_voxel_init=16**3,
+        N_voxel_final=20**3,
+        upsamp_list=[20],
+        update_AlphaMask_list=[22, 28],
+        save_ckpt_every=[30],
+        n_lamb_sigma=[2, 2, 2],
+        n_lamb_sh=[2, 2, 2],
+        data_dim_color=6,
+        featureC=16,
+        pos_pe=2,
+        view_pe=2,
+        fea_pe=2,
+        density_shift=-3.0,
+        vis_every=1000,
+        train_vis_every=1000,
+        render_test=0,
+        progress_refresh_rate=100,
+        n_devices=1,
+        expname="wedge_run",
+    )
+    orig = dataset_dict["blender"]
+    dataset_dict["blender"] = partial(orig, wh=(24, 24))
+    try:
+        # "wedged" run: dies right after the periodic ckpt at iter 30
+        ckpt = reconstruction(TrainConfig(n_iters=31, **common))
+        assert load_opt_leaves(ckpt) is not None  # resumable final ckpt
+        capsys.readouterr()
+
+        # relaunch with --resume: same logfolder, full horizon
+        ckpt2 = reconstruction(TrainConfig(n_iters=45, resume=1, **common))
+        out = capsys.readouterr().out
+        assert "[resume] continuing at iteration 31" in out
+        assert "[resume] optimizer state restored" in out
+        assert "[resume] store re-filtered" in out  # past both mask events
+        # schedule events must NOT re-fire after resume
+        assert "upsampled to" not in out
+        assert "alpha mask updated" not in out
+
+        cfg3, params3, aabb3, grid3, mask3, extra3 = load_checkpoint(ckpt2)
+        assert grid3 == (20, 20, 20)  # upsampled grid carried through
+        assert mask3 is not None
+        assert extra3["iteration"] == 44
+
+        # resume of a FINISHED run skips straight to finalization
+        capsys.readouterr()
+        ckpt3 = reconstruction(TrainConfig(n_iters=45, resume=1, **common))
+        out = capsys.readouterr().out
+        assert "continuing at iteration 45" in out
+        assert "Iteration" not in out  # no training steps ran
+    finally:
+        dataset_dict["blender"] = orig

@@ -578,3 +578,33 @@ def test_render_chunked_stratified_matches_uniform(setup, rng):
     assert overflow == 0.0
     np.testing.assert_allclose(rgb_s, rgb_u, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(depth_s, depth_u, rtol=1e-4, atol=1e-4)
+
+
+def test_allocate_quotas_clamped_to_stratum_size():
+    """ADVICE r3: a quota must not exceed its stratum's (rounded) size —
+    the residual redistributes to strata with headroom; if the batch
+    exceeds total capacity, the largest stratum absorbs the rest (the
+    sampler tiles permutations, preserving the compiled sub-batch shape)."""
+    # advisor's example: residual previously overflowed the largest stratum
+    quotas = allocate_quotas([900, 100], 1000, round_to=8)
+    assert sum(quotas) == 1000
+    assert all(q % 8 == 0 for q in quotas)
+    # capacity (896 + 96) < batch: the overflow lands on the largest
+    assert quotas[0] >= 896 and quotas[1] <= 96
+    # a case with headroom: no stratum exceeds its rounded size
+    quotas = allocate_quotas([512, 512, 64], 512, round_to=8)
+    assert sum(quotas) == 512
+    for q, s in zip(quotas, [512, 512, 64]):
+        assert q <= max(8, s // 8 * 8)
+
+
+def test_simple_sampler_tiles_tiny_store():
+    """A stratum smaller than its quota oversamples by tiling fresh
+    permutations — the id array shape stays fixed (no retrace)."""
+    from tensorf_tpu.train.sampler import SimpleSampler
+
+    s = SimpleSampler(5, 16, seed=0)
+    for _ in range(3):
+        ids = s.nextids()
+        assert ids.shape == (16,)
+        assert set(ids.tolist()) == set(range(5))  # covers the store
