@@ -163,6 +163,14 @@ def evaluation(
                 # NaN (not omission) when LPIPS weights are unavailable,
                 # so mean.txt keeps the reference's 4-line format
                 # (renderer.py:218-222).
+                if (la is None or lv is None) and not l_alex and not l_vgg:
+                    print(
+                        "[eval] LPIPS weights unavailable — mean.txt "
+                        "LPIPS lines will be NaN (vendor "
+                        "tensorf_tpu/eval/weights/lpips_{alex,vgg}.npz "
+                        "via scripts/convert_lpips_weights.py on a "
+                        "networked machine, or set TENSORF_LPIPS_DIR)"
+                    )
                 l_alex.append(la if la is not None else float("nan"))
                 l_vgg.append(lv if lv is not None else float("nan"))
 
