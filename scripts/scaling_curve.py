@@ -10,9 +10,12 @@ compiled SPMD program itself, per device count, at a FIXED global batch:
   * the collective traffic the partitioner inserted — for pure DP this
     must be exactly one gradient/psum all-reduce set whose payload is the
     (replicated) parameter size, independent of N;
-  * from those two, the v5e projection: t(N) = t_compute(1)/N + 2·G/BW_ici
+  * from those two, the v5e projection.  The step is memory-bound on the
+    chip, so: t(N) = t_measured(1) · bytes(N)/bytes(1) + 2·G/BW_ici
     (bidirectional ring all-reduce, G = grad bytes, v5e ICI ~45 GB/s/dir
-    per the public v5e spec sheet).
+    per the public v5e spec sheet).  bytes(N) decomposes as
+    sharded/N + replicated — the replicated part (Adam + L1/TV on the
+    full params) is the measured Amdahl term.
 
 Writes SCALING_r04.json and prints a table.
 
@@ -38,6 +41,7 @@ GRID = (64, 64, 64)
 N_SAMPLES = 64
 ICI_GBPS = 45.0  # v5e per-direction ICI bandwidth, public spec
 V5E_BF16_TFLOPS = 197.0
+MEASURED_STEP_MS = 117.0  # BENCH_SELF_r03 mask-era step, this op mix
 
 
 def build(n_devices):
@@ -177,23 +181,25 @@ def main():
         )
         print(rows[-1], flush=True)
 
-    # v5e projection at this global batch: compute term from the 1-device
-    # flops at the public bf16 peak, comm term = ring all-reduce payload
+    # v5e projection at this global batch.  The step is MEMORY-bound on
+    # the chip (BENCH_SELF_r03: 117 ms mask-era vs a 0.15 ms flops time at
+    # peak), so the compute term scales with per-device BYTES, anchored to
+    # the measured single-chip step time; comm term = bidirectional ring
+    # all-reduce of the constant gradient payload.  The per-device bytes
+    # themselves expose the Amdahl term: work on REPLICATED params (Adam,
+    # L1/TV regularizers) does not shrink with N.
     base = rows[0]
+    t_meas_s = MEASURED_STEP_MS / 1e3
     for r in rows:
         n = r["n_devices"]
-        t_compute = base["per_device_flops"] / (V5E_BF16_TFLOPS * 1e12) / n
+        t_mem = t_meas_s * r["per_device_bytes"] / base["per_device_bytes"]
         t_comm = (
             0.0
             if n == 1
             else 2.0 * r["all_reduce_bytes"] / (ICI_GBPS * 1e9)
         )
-        r["v5e_projected_step_ms"] = round((t_compute + t_comm) * 1e3, 3)
-        r["v5e_projected_speedup"] = round(
-            (base["per_device_flops"] / (V5E_BF16_TFLOPS * 1e12))
-            / (t_compute + t_comm),
-            2,
-        )
+        r["v5e_projected_step_ms"] = round((t_mem + t_comm) * 1e3, 3)
+        r["v5e_projected_speedup"] = round(t_meas_s / (t_mem + t_comm), 2)
 
     out = {
         "global_batch": GLOBAL_BATCH,
@@ -203,7 +209,8 @@ def main():
             "per-device costs from XLA cost analysis of the partitioned "
             "SPMD module; wall-clock on the 1-core virtual mesh is "
             "serialized and NOT scaling evidence; projection model: "
-            "t = flops_1dev/(N*peak) + 2*grad_bytes/ICI_BW"
+            "t = t_meas(1)*bytes(N)/bytes(1) + 2*grad_bytes/ICI_BW "
+            "(memory-bound step, BENCH_SELF_r03 anchor)"
         ),
         "rows": rows,
     }
