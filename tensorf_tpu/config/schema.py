@@ -171,6 +171,14 @@ class TrainConfig:
     # for this long, log and exit resumable (code 17); 0 disables.  The
     # default sits above the longest observed legitimate remote compile.
     wedge_timeout_s: float = 900.0
+    # supervise the run in a subprocess and relaunch with --resume 1 up to
+    # N times whenever the watchdog exits wedged (full r3-incident
+    # automation: no operator in the loop); 0 = run in-process
+    auto_resume: int = 0
+    # jax platform override ("cpu" to force the CPU backend — the
+    # container pins the tunneled TPU via JAX_PLATFORMS, which only an
+    # in-process jax.config.update can override); "" = default
+    platform: str = ""
     profile_dir: str = ""  # dump a jax.profiler trace here when set
     profile_start: int = 50  # first profiled step
     profile_steps: int = 5  # number of profiled steps

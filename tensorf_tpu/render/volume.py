@@ -65,10 +65,13 @@ class RenderOutput(NamedTuple):
     # compaction dropped candidates and the render may under-integrate —
     # the train loop surfaces this as `budget_overflow_frac` (the exactness
     # condition of the reference's boolean compaction, tensorBase.py:360-375).
-    budget_overflow_frac: jax.Array = jnp.float32(0.0)
+    # (defaults are python floats, NOT jnp scalars: a jnp default would
+    # initialize the jax backend at module import — fatal when the
+    # tunneled device is wedged; floats weak-type to f32 under jit)
+    budget_overflow_frac: jax.Array = 0.0
     # Mean per-ray alive (exact-gated, in-bbox) sample count — the measured
     # occupancy statistic bench.py's phase model is calibrated against.
-    mean_alive_samples: jax.Array = jnp.float32(0.0)
+    mean_alive_samples: jax.Array = 0.0
 
 
 def render_rays(
@@ -473,8 +476,8 @@ def render_rays(
 def _composite(
     cfg, rgb_map, weight, sigma, z_vals, rays, k_bg, num_valid, *,
     is_train: bool, white_bg: bool,
-    budget_overflow_frac=jnp.float32(0.0),
-    mean_alive_samples=jnp.float32(0.0),
+    budget_overflow_frac=0.0,
+    mean_alive_samples=0.0,
 ) -> RenderOutput:
     acc = jnp.sum(weight, axis=-1)
 

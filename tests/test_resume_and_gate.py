@@ -275,3 +275,34 @@ def test_resume_continues_mid_run(tmp_path, capsys):
         assert "Iteration" not in out  # no training steps ran
     finally:
         dataset_dict["blender"] = orig
+
+
+def test_supervisor_relaunches_on_wedged_exit(monkeypatch, capsys):
+    """train.py --auto_resume N: relaunch with --resume 1 while the child
+    exits EXIT_WEDGED, then stop on success; give up after N attempts."""
+    import train as train_cli
+    from tensorf_tpu.utils.watchdog import EXIT_WEDGED
+
+    calls = []
+
+    def fake_call(cmd):
+        calls.append(cmd)
+        # wedge twice, then succeed
+        return EXIT_WEDGED if len(calls) <= 2 else 0
+
+    monkeypatch.setattr("subprocess.call", fake_call)
+    rc = train_cli._supervise(["--config", "x.txt"], retries=3)
+    assert rc == 0 and len(calls) == 3
+    assert "--resume" not in " ".join(calls[0])
+    assert "--resume" in " ".join(calls[1])
+    # the child must never re-supervise
+    for c in calls:
+        i = c.index("--auto_resume")
+        assert c[i + 1] == "0"
+
+    calls.clear()
+    monkeypatch.setattr("subprocess.call", lambda cmd: (
+        calls.append(cmd) or EXIT_WEDGED
+    ))
+    rc = train_cli._supervise(["--config", "x.txt"], retries=2)
+    assert rc == EXIT_WEDGED and len(calls) == 3  # initial + 2 retries

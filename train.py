@@ -24,8 +24,50 @@ from tensorf_tpu.config.frontends import parse_cli
 from tensorf_tpu.train.loop import export_mesh, reconstruction, render_test
 
 
+def _supervise(argv, retries: int) -> int:
+    """Run the training CLI in a child process; on the watchdog's wedged
+    exit (code 17, utils/watchdog.py) relaunch with --resume 1 so the run
+    continues from its newest periodic checkpoint — up to ``retries``
+    relaunches, no operator in the loop."""
+    import subprocess
+
+    from tensorf_tpu.utils.watchdog import EXIT_WEDGED
+
+    base = [sys.executable, os.path.abspath(__file__)]
+    child_argv = [a for a in argv]
+    # the child must not re-supervise
+    child_argv += ["--auto_resume", "0"]
+    rc = subprocess.call(base + child_argv)
+    attempt = 0
+    while rc == EXIT_WEDGED and attempt < retries:
+        attempt += 1
+        print(
+            f"[supervisor] wedged exit (code {rc}) — relaunch "
+            f"{attempt}/{retries} with --resume 1",
+            flush=True,
+        )
+        rc = subprocess.call(base + child_argv + ["--resume", "1"])
+    if rc == EXIT_WEDGED:
+        print(
+            f"[supervisor] still wedged after {retries} relaunches — "
+            "giving up (resume later with --resume 1)",
+            flush=True,
+        )
+    return rc
+
+
 def main(argv=None):
+    if argv is None:
+        argv = sys.argv[1:]
     cfg = parse_cli(argv)
+
+    if cfg.platform:
+        import jax
+
+        jax.config.update("jax_platforms", cfg.platform)
+
+    if cfg.auto_resume and argv:
+        sys.exit(_supervise(list(argv), int(cfg.auto_resume)))
 
     if cfg.export_mesh and (cfg.ckpt or cfg.ckpt_path):
         export_mesh(cfg)
