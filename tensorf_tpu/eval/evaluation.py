@@ -126,10 +126,13 @@ def evaluation(
     chunk: int = 8192,
     compute_extra_metrics: bool = True,
     device=None,
+    heartbeat=None,
 ):
     """Render the (stacked) dataset, compute metrics, dump artifacts.
 
     Returns the list of per-image PSNRs (reference renderer.py:148-225).
+    ``heartbeat`` (callable, no args) is invoked once per rendered image —
+    the train loop's wedge watchdog stays armed through finalization.
     """
     PSNRs, ssims, l_alex, l_vgg = [], [], [], []
     rgb_frames, depth_frames = [], []
@@ -147,6 +150,8 @@ def evaluation(
     idxs = list(range(0, n_images, img_eval_interval))
 
     for idx in idxs:
+        if heartbeat is not None:
+            heartbeat()
         rays = np.asarray(test_dataset.all_rays[idx]).reshape(-1, 6)
         rgb_map, depth_map, _ = handle.render(rays, chunk=chunk)
         rgb_map = np.clip(rgb_map, 0, 1).reshape(H, W, 3)

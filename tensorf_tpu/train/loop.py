@@ -90,6 +90,23 @@ def _make_logfolder(cfg: TrainConfig) -> str:
 
     date = datetime.now(ZoneInfo("Asia/Ho_Chi_Minh")).strftime("%Y-%m-%d")
     logfolder = f"{cfg.basedir}/{date}/{cfg.expname}"
+    if cfg.resume and not os.path.exists(logfolder):
+        # --resume relaunched after local midnight: the date-stamped path
+        # moved, but the run to continue lives under an earlier date —
+        # reuse the newest prior folder for this expname instead of
+        # silently starting a fresh run in an empty one
+        import glob
+
+        prior = sorted(
+            (
+                p for p in glob.glob(f"{cfg.basedir}/*/{cfg.expname}")
+                if os.path.isdir(p)
+            ),
+            key=os.path.getmtime,
+        )
+        if prior:
+            logfolder = prior[-1]
+            print(f"[resume] continuing in prior logfolder {logfolder}")
     if cfg.overwrt and not cfg.resume and os.path.exists(logfolder):
         shutil.rmtree(logfolder)
     os.makedirs(logfolder, exist_ok=True)
@@ -216,6 +233,33 @@ def reconstruction(cfg: TrainConfig) -> str:
     resume_extra = None
     if cfg.resume and not cfg.ckpt_path:
         found = _latest_ckpt(logfolder)
+        if jax.process_count() > 1:
+            # multi-host SPMD: every process must make the SAME resume
+            # decision from the SAME iteration, else start_iter (a static
+            # baked into the compiled step) diverges and collectives
+            # mismatch.  ALL hosts join the reduction (a host without a
+            # checkpoint contributes -1); agree only when every host sees
+            # the same newest iteration, else everyone starts fresh.
+            import json as _json
+
+            my_it = -1
+            if found:
+                data = np.load(found, allow_pickle=False)
+                my_it = int(
+                    _json.loads(bytes(data["kwargs"]).decode())["extra"][
+                        "iteration"
+                    ]
+                )
+            v = np.asarray([my_it], np.int64)
+            mx = int(host_allmax(v)[0])
+            mn = -int(host_allmax(-v)[0])
+            if mx != mn or mn < 0:
+                if found:
+                    print(
+                        f"[resume] hosts disagree on newest iteration "
+                        f"({mn} vs {mx}) — fresh start on all hosts"
+                    )
+                found = None
         if found:
             cfg.ckpt_path = found
             print(f"[resume] newest checkpoint: {found}")
@@ -702,7 +746,13 @@ def reconstruction(cfg: TrainConfig) -> str:
 
     def save_ckpt(path: str, iteration: Optional[int] = None):
         """``iteration`` set -> a resumable checkpoint: schedule position +
-        optimizer state ride along (--resume 1 wedge recovery)."""
+        optimizer state ride along (--resume 1 wedge recovery).
+
+        Multi-host: only process 0 writes (params are replicated, so the
+        content is identical everywhere; concurrent same-path writes on a
+        shared filesystem could corrupt the file resume depends on)."""
+        if jax.process_index() != 0:
+            return
         extra = None
         opt = None
         if iteration is not None:
@@ -744,12 +794,14 @@ def reconstruction(cfg: TrainConfig) -> str:
         resume_hint=(
             f"python train.py ... --resume 1 (logfolder {logfolder})"
         ),
+        # only THIS run's compile cache counts as progress — NOT the
+        # pytest conftest's /tmp/jax_cache, whose writes from a concurrent
+        # CPU test process would indefinitely suppress wedge detection
         cache_dirs=[
-            d for d in (
+            d for d in dict.fromkeys((
                 os.environ.get("JAX_COMPILATION_CACHE_DIR"),
                 "/tmp/jax_cache_tpu",
-                "/tmp/jax_cache",
-            ) if d
+            )) if d
         ],
     ).start()
 
@@ -1108,11 +1160,16 @@ def reconstruction(cfg: TrainConfig) -> str:
             )
 
     # ---- finalization (train.py:487-544) ----
-    watchdog.stop()  # eval/export below has no per-iteration heartbeat
+    # finalization still issues heavy device work (final ckpt device_get,
+    # full test-set eval) — keep the watchdog armed with a per-image
+    # heartbeat so a late wedge exits resumable (resume of a finished run
+    # skips straight back here) instead of hanging the supervisor forever
+    watchdog.beat()
     final_path = f"{logfolder}/final_{cfg.expname}.npz"
     # carries its position too: --resume on a finished run skips straight
     # to finalization instead of retraining from the last periodic ckpt
     save_ckpt(final_path, iteration=cfg.n_iters - 1)
+    watchdog.beat()
     elapsed = time.time() - run_tic
     np.savetxt(f"{logfolder}/training_time.txt", np.asarray([elapsed]))
     print(f"Total time {elapsed:.2f}s.")
@@ -1126,11 +1183,17 @@ def reconstruction(cfg: TrainConfig) -> str:
             downsample=cfg.downsample_train,
             is_stack=True,
         )
-        p = evaluation(ds, handle, f"{logfolder}/imgs_train_all/")
+        p = evaluation(
+            ds, handle, f"{logfolder}/imgs_train_all/",
+            heartbeat=watchdog.beat,
+        )
         print(f"======> {cfg.expname} train all psnr: {np.mean(p)} <========")
     if cfg.render_test:
         os.makedirs(f"{logfolder}/imgs_test_all", exist_ok=True)
-        p = evaluation(test_dataset, handle, f"{logfolder}/imgs_test_all/")
+        p = evaluation(
+            test_dataset, handle, f"{logfolder}/imgs_test_all/",
+            heartbeat=watchdog.beat,
+        )
         if p:
             writer.add_scalar("test/psnr_all", np.mean(p), cfg.n_iters)
             print(
@@ -1145,6 +1208,7 @@ def reconstruction(cfg: TrainConfig) -> str:
             f"{logfolder}/imgs_path_all/",
         )
 
+    watchdog.stop()
     np.savez(f"{logfolder}/history.npz", **{k: np.asarray(v) for k, v in history.items()})
     create_gif(f"{logfolder}/gif/plot/vis_every", f"{logfolder}/gif/training.gif")
     writer.close()
@@ -1206,7 +1270,10 @@ def render_test(cfg: TrainConfig):
         print(f"======> {cfg.expname} train all psnr: {np.mean(p)} <========")
     if cfg.render_test:
         os.makedirs(f"{logfolder}/imgs_test_all", exist_ok=True)
-        p = evaluation(test_dataset, handle, f"{logfolder}/imgs_test_all/")
+        p = evaluation(
+            test_dataset, handle, f"{logfolder}/imgs_test_all/",
+            heartbeat=watchdog.beat,
+        )
         print(f"======> {cfg.expname} test all psnr: {np.mean(p)} <========")
     if cfg.render_path and hasattr(test_dataset, "render_path"):
         os.makedirs(f"{logfolder}/imgs_path_all", exist_ok=True)

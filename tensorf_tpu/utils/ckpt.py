@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax.numpy as jnp
@@ -86,7 +87,12 @@ def save_checkpoint(
         leaves = jax.tree_util.tree_leaves(opt_state)
         for i, leaf in enumerate(leaves):
             entries[f"opt/{i:05d}"] = np.asarray(leaf)
-    np.savez(path, **entries)
+    # atomic: a wedge/kill mid-write must never corrupt the checkpoint
+    # --resume depends on (np.savez appends .npz to extension-less paths)
+    tmp = f"{path}.tmp"
+    np.savez(tmp, **entries)
+    final = path if path.endswith(".npz") else f"{path}.npz"
+    os.replace(f"{tmp}.npz", final)
 
 
 def load_opt_leaves(path: str):

@@ -306,3 +306,82 @@ def test_supervisor_relaunches_on_wedged_exit(monkeypatch, capsys):
     ))
     rc = train_cli._supervise(["--config", "x.txt"], retries=2)
     assert rc == EXIT_WEDGED and len(calls) == 3  # initial + 2 retries
+
+
+def test_resume_finds_prior_date_logfolder(tmp_path):
+    """--resume relaunched after local midnight reuses the newest prior
+    date-stamped folder for the expname instead of a fresh empty one."""
+    from tensorf_tpu.config.schema import TrainConfig
+    from tensorf_tpu.train.loop import _make_logfolder
+
+    base = tmp_path / "log"
+    prior = base / "2020-01-01" / "exp"
+    prior.mkdir(parents=True)
+    (prior / "0k_exp.npz").write_bytes(b"x")
+    cfg = TrainConfig(basedir=str(base), expname="exp", resume=1)
+    assert _make_logfolder(cfg) == str(prior)
+
+    # without --resume a fresh date-stamped folder is created as before
+    cfg2 = TrainConfig(basedir=str(base), expname="exp", resume=0)
+    assert _make_logfolder(cfg2) != str(prior)
+
+
+def test_checkpoint_write_is_atomic(tmp_path):
+    """save_checkpoint must never leave a partial file at the final path
+    (tmp + os.replace)."""
+    import numpy as np
+
+    from tensorf_tpu.models import FIELD_MODELS, ModelConfig
+    from tensorf_tpu.utils.ckpt import load_checkpoint, save_checkpoint
+
+    cfg = ModelConfig(model_name="TensorVMSplit")
+    import jax
+
+    params = FIELD_MODELS["TensorVMSplit"].init(
+        jax.random.PRNGKey(0), cfg, (8, 8, 8)
+    )
+    path = str(tmp_path / "ck.npz")
+    orig_replace = __import__("os").replace
+    seen = []
+
+    import os as _os
+    real = _os.replace
+
+    def spy(src, dst):
+        seen.append((src, dst))
+        return real(src, dst)
+
+    _os.replace = spy
+    try:
+        save_checkpoint(
+            path, cfg, params, np.zeros((2, 3), np.float32), (8, 8, 8)
+        )
+    finally:
+        _os.replace = real
+    assert seen and seen[0][1] == path and seen[0][0].endswith(".tmp.npz")
+    load_checkpoint(path)  # round-trips
+
+
+def test_multihost_resume_disagreement_falls_back(monkeypatch, tmp_path):
+    """When hosts see different newest iterations, every process starts
+    fresh (identical statics) instead of resuming divergently."""
+    # exercise just the agreement arithmetic the loop uses
+    import numpy as np
+
+    from tensorf_tpu.parallel import mesh as pmesh
+
+    # single-process host_allmax is identity -> agreement
+    v = np.asarray([17], np.int64)
+    mx = int(pmesh.host_allmax(v)[0])
+    mn = -int(pmesh.host_allmax(-v)[0])
+    assert mx == mn == 17
+
+    # simulate host disagreement: allmax sees {17, 12}
+    def fake_allmax(x):
+        vals = np.stack([x, np.where(x < 0, -12, 12)])
+        return vals.max(axis=0)
+
+    monkeypatch.setattr(pmesh, "host_allmax", fake_allmax)
+    mx = int(pmesh.host_allmax(v)[0])
+    mn = -int(pmesh.host_allmax(-v)[0])
+    assert mx == 17 and mn == 12 and mx != mn  # -> fresh start branch
