@@ -349,9 +349,13 @@ def render_chunked_stratified(
             fused=fused,
             use_coarse_gate=False,
         )
+        # mirror the stratified path's HBM guard: an unbudgeted render at
+        # a deep lattice must not materialize a chunk*n_samples footprint
+        # sized for the budgeted path
+        ndc_chunk = min(chunk, 8192) if n_samples > 512 else chunk
         return render_chunked(
             fn, params, alpha_mask, rays, aabb,
-            chunk=chunk, masks=masks, mesh=mesh,
+            chunk=ndc_chunk, masks=masks, mesh=mesh,
         )
     # no import cycle: culling imports render.volume only
     from .culling import (
@@ -445,7 +449,7 @@ def render_chunked_stratified(
         # compiled-program set; the tier budget is dropped where the
         # capped lattice itself is at least as tight.
         n_eff = n_samples
-        if chords is not None and not ndc_ray:
+        if chords is not None:  # (ndc_ray already returned above)
             cmax = int(chords[order[start:end]].max())
             n_eff = min(n_samples, max(128, -(-cmax // 128) * 128))
         tier_b = tier if (tier is not None and tier < n_eff) else None

@@ -506,6 +506,13 @@ def count_histogram(counts: np.ndarray, length: Optional[int] = None
     summed element-wise across processes (multi-host stratification sync).
     """
     counts = np.asarray(counts, np.int64)
+    if length is not None:
+        # ``length`` must be an exact length, not bincount's lower bound:
+        # group-PADDED count sources can exceed n_samples (padding rounds
+        # up to the coarse stride), and a single such ray on one host
+        # would desynchronize the element-wise host_allsum.  Clipping is
+        # conservative — the ray lands in the top budget class.
+        counts = np.clip(counts, 0, length)
     minlength = (length + 1) if length is not None else 0
     return np.bincount(counts, minlength=minlength).astype(np.int64)
 
@@ -513,6 +520,8 @@ def count_histogram(counts: np.ndarray, length: Optional[int] = None
 def _hist_quantile(hist: np.ndarray, q: float) -> float:
     """``np.quantile`` (linear interpolation) of the integer population a
     histogram describes, without materializing it."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"Quantiles must be in the range [0, 1], got {q}")
     cum = np.cumsum(hist)
     n = int(cum[-1])
     pos = q * (n - 1)
