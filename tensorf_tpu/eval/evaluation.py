@@ -225,8 +225,10 @@ def evaluation_path(
     prtx: str = "",
     chunk: int = 8192,
     device=None,
+    heartbeat=None,
 ):
-    """Render a camera trajectory (reference renderer.py:227-282)."""
+    """Render a camera trajectory (reference renderer.py:227-282).
+    ``heartbeat`` is invoked once per frame (wedge-watchdog liveness)."""
     W, H = test_dataset.img_wh
     near_far = test_dataset.near_far
     if savePath is not None:
@@ -236,6 +238,8 @@ def evaluation_path(
 
     rgb_frames, depth_frames = [], []
     for idx, c2w in enumerate(np.asarray(c2ws)):
+        if heartbeat is not None:
+            heartbeat()
         rays_o, rays_d = get_rays(test_dataset.directions, c2w[:3, :4])
         if handle.ndc_ray:
             rays_o, rays_d = ndc_rays_blender(
@@ -258,11 +262,14 @@ def evaluation_path(
     return []
 
 
-def psnrs_calculate(handle: RendererHandle, dataset, chunk: int = 4096):
+def psnrs_calculate(handle: RendererHandle, dataset, chunk: int = 4096,
+                    heartbeat=None):
     """Mid-training test-set PSNR sweep (reference loss.py:10-57)."""
     PSNRs = []
     W, H = dataset.img_wh
     for idx in range(dataset.all_rays.shape[0]):
+        if heartbeat is not None:
+            heartbeat()
         rays = np.asarray(dataset.all_rays[idx]).reshape(-1, 6)
         rgb_map, _, _ = handle.render(rays, chunk=chunk)
         rgb_map = np.clip(rgb_map, 0, 1)

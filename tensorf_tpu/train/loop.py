@@ -115,9 +115,11 @@ def _make_logfolder(cfg: TrainConfig) -> str:
     return logfolder
 
 
-def _latest_ckpt(logfolder: str) -> Optional[str]:
+def _latest_ckpt(logfolder: str):
     """Newest .npz checkpoint in the logfolder (mtime order) that carries a
-    resume position, for ``--resume 1`` wedge recovery."""
+    resume position, for ``--resume 1`` wedge recovery.  Returns
+    ``(path, iteration)`` or ``None`` (the iteration rides along so the
+    multi-host agreement check does not re-open the file)."""
     import glob
     import json
 
@@ -130,8 +132,9 @@ def _latest_ckpt(logfolder: str) -> Optional[str]:
         try:
             data = np.load(path, allow_pickle=False)
             kwargs = json.loads(bytes(data["kwargs"]).decode())
-            if "iteration" in (kwargs.get("extra") or {}):
-                return path
+            extra = kwargs.get("extra") or {}
+            if "iteration" in extra:
+                return path, int(extra["iteration"])
         except Exception:
             continue
     return None
@@ -240,16 +243,7 @@ def reconstruction(cfg: TrainConfig) -> str:
             # mismatch.  ALL hosts join the reduction (a host without a
             # checkpoint contributes -1); agree only when every host sees
             # the same newest iteration, else everyone starts fresh.
-            import json as _json
-
-            my_it = -1
-            if found:
-                data = np.load(found, allow_pickle=False)
-                my_it = int(
-                    _json.loads(bytes(data["kwargs"]).decode())["extra"][
-                        "iteration"
-                    ]
-                )
+            my_it = found[1] if found else -1
             v = np.asarray([my_it], np.int64)
             mx = int(host_allmax(v)[0])
             mn = -int(host_allmax(-v)[0])
@@ -261,8 +255,8 @@ def reconstruction(cfg: TrainConfig) -> str:
                     )
                 found = None
         if found:
-            cfg.ckpt_path = found
-            print(f"[resume] newest checkpoint: {found}")
+            cfg.ckpt_path = found[0]
+            print(f"[resume] newest checkpoint: {found[0]}")
         else:
             print(f"[resume] no checkpoint under {logfolder} — fresh start")
     if cfg.ckpt_path:
@@ -357,7 +351,14 @@ def reconstruction(cfg: TrainConfig) -> str:
     allrays = np.asarray(train_dataset.all_rays, np.float32)
     allrgbs = np.asarray(train_dataset.all_rgbs, np.float32)
     if not ndc_ray:
-        allrays, allrgbs = filter_rays_bbox(allrays, allrgbs, aabb)
+        # transparent --resume continuation filters on the DATASET bbox
+        # (what the original run used before any shrink); a --ckpt restart
+        # keeps the reference's semantics (filter on the loaded aabb)
+        store_aabb = (
+            np.asarray(train_dataset.scene_bbox, np.float32).reshape(2, 3)
+            if resume_extra is not None else aabb
+        )
+        allrays, allrgbs = filter_rays_bbox(allrays, allrgbs, store_aabb)
     # multi-host: each process keeps a disjoint strided shard of the
     # filtered ray store and samples its share of the global batch, so no
     # host loads or trains on another host's rays (the global batch is the
@@ -627,6 +628,11 @@ def reconstruction(cfg: TrainConfig) -> str:
             # the compiled step) would diverge across processes -> mismatched
             # programs/collectives.  Derive everything from the globally
             # summed count histogram instead: identical statics everywhere.
+            # clip BEFORE both the histogram and the membership test:
+            # group-padded count sources can exceed n_samples, and a
+            # clipped histogram with unclipped membership would leave
+            # those (highest-cost) rays in no stratum
+            counts = np.minimum(counts, state.n_samples)
             hist = host_allsum(
                 count_histogram(counts, length=state.n_samples)
             )
@@ -712,8 +718,15 @@ def reconstruction(cfg: TrainConfig) -> str:
 
     # partition the store up front: by in-bbox chord counts in the
     # prefilter phase, by mask candidate counts when resumed mid-schedule
-    restratify(start_iter)
-    step_fn = make_train_step(model, model_cfg, build_statics(), optimizer)
+    if start_iter < cfg.n_iters:
+        restratify(start_iter)
+        step_fn = make_train_step(
+            model, model_cfg, build_statics(), optimizer
+        )
+    else:
+        # resume of a FINISHED run: skip straight to finalization — no
+        # count pass / step compile (renewed wedge exposure for zero work)
+        step_fn = None
 
     def make_handle() -> RendererHandle:
         return RendererHandle(
@@ -972,7 +985,8 @@ def reconstruction(cfg: TrainConfig) -> str:
             handle = make_handle()
             if do_test_eval:
                 psnrs_test = psnrs_calculate(
-                    handle, test_dataset, chunk=cfg.batch_size
+                    handle, test_dataset, chunk=cfg.batch_size,
+                    heartbeat=watchdog.beat,
                 ) or [0.0]
                 writer.add_scalar("test/psnr", np.mean(psnrs_test), iteration)
         if do_train_vis:
@@ -1206,6 +1220,7 @@ def reconstruction(cfg: TrainConfig) -> str:
             handle,
             test_dataset.render_path,
             f"{logfolder}/imgs_path_all/",
+            heartbeat=watchdog.beat,
         )
 
     watchdog.stop()
@@ -1270,10 +1285,7 @@ def render_test(cfg: TrainConfig):
         print(f"======> {cfg.expname} train all psnr: {np.mean(p)} <========")
     if cfg.render_test:
         os.makedirs(f"{logfolder}/imgs_test_all", exist_ok=True)
-        p = evaluation(
-            test_dataset, handle, f"{logfolder}/imgs_test_all/",
-            heartbeat=watchdog.beat,
-        )
+        p = evaluation(test_dataset, handle, f"{logfolder}/imgs_test_all/")
         print(f"======> {cfg.expname} test all psnr: {np.mean(p)} <========")
     if cfg.render_path and hasattr(test_dataset, "render_path"):
         os.makedirs(f"{logfolder}/imgs_path_all", exist_ok=True)

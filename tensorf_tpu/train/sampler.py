@@ -19,6 +19,14 @@ class SimpleSampler:
     """Random-permutation batch sampler over a flat ray store."""
 
     def __init__(self, total: int, batch: int, seed: int = 20211202):
+        if total <= 0:
+            # an empty store/stratum cannot produce ids; fail loudly here
+            # (a ZeroDivisionError later — or a hang at the next collective
+            # on the other hosts — is much harder to diagnose)
+            raise ValueError(
+                f"SimpleSampler: empty ray store (total={total}); on a "
+                "multi-host run this means this host's shard has no rays"
+            )
         self.total = total
         self.batch = batch
         self.curr = total
