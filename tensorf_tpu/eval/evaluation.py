@@ -12,6 +12,7 @@ import dataclasses
 import os
 from typing import List, Optional
 
+import jax
 import numpy as np
 
 from ..models.alpha_mask import AlphaGridMask
@@ -139,6 +140,12 @@ def evaluation(
     near_far = test_dataset.near_far
     W, H = test_dataset.img_wh
 
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # multi-host: every process renders (the sharded chunks are
+        # collective) and returns identical metrics, but only process 0
+        # touches the shared filesystem
+        savePath = None
+
     if savePath is not None:
         os.makedirs(savePath, exist_ok=True)
         os.makedirs(f"{savePath}/prediction", exist_ok=True)
@@ -231,6 +238,8 @@ def evaluation_path(
     ``heartbeat`` is invoked once per frame (wedge-watchdog liveness)."""
     W, H = test_dataset.img_wh
     near_far = test_dataset.near_far
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        savePath = None  # compute in lockstep, write from process 0 only
     if savePath is not None:
         os.makedirs(savePath, exist_ok=True)
         os.makedirs(f"{savePath}/prediction", exist_ok=True)

@@ -53,36 +53,72 @@ def pad_to_multiple(arr: np.ndarray, multiple: int):
     )
 
 
-def shard_ray_store_per_host(allrays, allrgbs, global_batch: int):
-    """Disjoint per-host shard of the (filtered) training ray store.
+def host_ray_pool(n_rays: int, global_batch: int):
+    """Disjoint per-host ID pool over the (filtered) training ray store.
 
-    Multi-host data layout: host p keeps rays [p::n_proc] and samples
-    global_batch // n_proc rays per step; the global batch is the union of
-    the per-host batches (the reference has no multi-host story at all —
-    SURVEY.md §2.10).  Single-process runs return the inputs unchanged.
+    Multi-host data layout (validated by a real 2-process gloo run,
+    scripts/multihost_smoke.py): the STORE is kept bit-identical on every
+    host and replicated over the global mesh — a per-host row-sliced store
+    can't be a valid replicated global jax.Array (different content per
+    process breaks the SPMD data model).  Host disjointness lives in ID
+    space instead: host p samples only ids ``p::n_proc``, so the global
+    batch is still a disjoint union of per-host draws (the reference has
+    no multi-host story at all — SURVEY.md §2.10).
 
-    Returns (rays, rgbs, local_batch).
+    Returns (pool_ids | None, local_batch): ``pool_ids`` is this host's id
+    subset (None single-process), ``local_batch`` its per-step draw.
     """
     n_proc = jax.process_count()
     if n_proc <= 1:
-        return allrays, allrgbs, global_batch
+        return None, global_batch
     if global_batch % n_proc:
         raise ValueError(
             f"batch_size {global_batch} must divide by process count {n_proc}"
         )
     p = jax.process_index()
-    return allrays[p::n_proc], allrgbs[p::n_proc], global_batch // n_proc
+    return np.arange(n_rays, dtype=np.int64)[p::n_proc], (
+        global_batch // n_proc
+    )
+
+
+def global_ids_from_local(mesh: Mesh, local_ids: np.ndarray, axis: str = "data"):
+    """Form the GLOBAL id batch from this host's local draw.
+
+    Multi-process: ``jax.make_array_from_process_local_data`` lays host p's
+    ``local_ids`` on its addressable shards of the row-sharded global array
+    (global batch = concat of per-host draws in process order).  The local
+    draw must divide evenly over this host's devices — allocate_quotas
+    rounds to ``max(8, n_devices)`` which guarantees it.  Single-process:
+    plain sharded device_put.
+    """
+    sh = NamedSharding(mesh, P(axis))
+    if jax.process_count() <= 1:
+        return jax.device_put(local_ids, sh)
+    return jax.make_array_from_process_local_data(sh, np.ascontiguousarray(local_ids))
+
+
+def to_host(x) -> np.ndarray:
+    """Fetch a jax.Array to host numpy, gathering shards that live on other
+    processes (``device_get`` refuses arrays spanning non-addressable
+    devices).  All processes must call this in lockstep (it is a
+    collective under multi-host); identity-ish single-process."""
+    if jax.process_count() <= 1:
+        return np.asarray(x)
+    if not isinstance(x, jax.Array) or x.is_fully_addressable:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
 def host_allsum(vec: np.ndarray) -> np.ndarray:
     """Element-wise sum of a fixed-shape host-local array across all
     processes (identity single-process).
 
-    Used to build the GLOBAL candidate-count histogram every host derives
-    identical stratification statics from: under multi-host SPMD each
-    process must compile the same step program and sub-batch shapes, but
-    the ray store is sharded per host (shard_ray_store_per_host), so
-    host-local stratum edges/budgets/quotas would diverge.
+    Retained as a general cross-host reduction primitive.  (The r3 design
+    summed per-shard count histograms with it; since the store became
+    bit-identical on every host — host_ray_pool — stratification statics
+    agree by construction and no longer need it.)
     """
     if jax.process_count() <= 1:
         return np.asarray(vec)

@@ -268,10 +268,17 @@ def render_chunked(
         pending.append(
             (n, render_fn(params, alpha_mask, put(part), aabb, masks))
         )
-    rgbs = [np.asarray(out[0][:n]) for n, out in pending]
-    depths = [np.asarray(out[1][:n]) for n, out in pending]
-    total_valid = int(sum(int(out[2]) for _, out in pending))
-    max_overflow = max((float(out[3]) for _, out in pending), default=0.0)
+    # to_host gathers shards living on other processes (multi-host eval
+    # rides the same sharded chunks; device_get alone refuses
+    # non-addressable arrays) — identity single-process
+    from ..parallel.mesh import to_host
+
+    rgbs = [to_host(out[0])[:n] for n, out in pending]
+    depths = [to_host(out[1])[:n] for n, out in pending]
+    total_valid = int(sum(int(to_host(out[2])) for _, out in pending))
+    max_overflow = max(
+        (float(to_host(out[3])) for _, out in pending), default=0.0
+    )
     return (
         np.concatenate(rgbs, axis=0),
         np.concatenate(depths, axis=0),

@@ -50,26 +50,23 @@ from ..models.config import (
 from ..models.tensorf import FIELD_MODELS
 from ..ops.freq_mask import free_masks
 from ..parallel.mesh import (
+    global_ids_from_local,
     host_allmax,
-    host_allsum,
+    host_ray_pool,
     make_mesh,
     replicate,
-    shard_ray_store_per_host,
     shard_rays,
 )
 from ..models.alpha_mask import coarse_gate_valid
 from ..render.culling import (
     _budget_hint,
     compute_alpha_grid,
-    count_histogram,
     count_ray_candidates,
     count_ray_candidates_and_alive,
     count_ray_candidates_and_chord,
     count_ray_inbbox,
     filter_rays_alpha,
     filter_rays_bbox,
-    strata_from_bounds,
-    stratify_edges,
     stratify_rays,
     stratify_rays_joint,
     update_alpha_mask,
@@ -78,7 +75,12 @@ from ..utils.ckpt import load_checkpoint, load_opt_leaves, save_checkpoint
 from ..utils.watchdog import Watchdog
 from .losses import LossWeights
 from .optim import make_optimizer
-from .sampler import SimpleSampler, StratifiedSampler, allocate_quotas
+from .sampler import (
+    SimpleSampler,
+    StratifiedSampler,
+    allocate_quotas,
+    localize_strata,
+)
 from .step import TrainStatics, make_train_step
 
 
@@ -140,19 +142,21 @@ def _latest_ckpt(logfolder: str):
     return None
 
 
-def _summary_writer(logfolder: str):
+def _summary_writer(logfolder: str, enabled: bool = True):
+    class _Null:
+        def add_scalar(self, *a, **k):
+            pass
+
+        def close(self):
+            pass
+
+    if not enabled:
+        return _Null()
     try:
         from tensorboardX import SummaryWriter
 
         return SummaryWriter(logfolder)
     except Exception:
-        class _Null:
-            def add_scalar(self, *a, **k):
-                pass
-
-            def close(self):
-                pass
-
         return _Null()
 
 
@@ -187,8 +191,17 @@ def reconstruction(cfg: TrainConfig) -> str:
     if cfg.distributed:
         # multi-host: one process per host joins the global device mesh;
         # XLA collectives then ride ICI within slices / DCN across hosts
-        # (SURVEY.md §2.10 TPU-native plan)
-        jax.distributed.initialize()
+        # (SURVEY.md §2.10 TPU-native plan).  On TPU pods/SLURM the args
+        # auto-detect; elsewhere (incl. the real 2-process CPU/gloo smoke
+        # run, scripts/multihost_smoke.py) they come from TFTPU_* env vars.
+        kw = {}
+        if os.environ.get("TFTPU_COORDINATOR"):
+            kw = dict(
+                coordinator_address=os.environ["TFTPU_COORDINATOR"],
+                num_processes=int(os.environ["TFTPU_NUM_PROCESSES"]),
+                process_id=int(os.environ["TFTPU_PROCESS_ID"]),
+            )
+        jax.distributed.initialize(**kw)
 
     model_cfg = model_config_from(cfg)
     model = FIELD_MODELS[cfg.model_name]
@@ -216,8 +229,23 @@ def reconstruction(cfg: TrainConfig) -> str:
     ndc_ray = bool(cfg.ndc_ray)
     model_cfg = model_cfg.replace(near_far=near_far)
 
-    logfolder = _make_logfolder(cfg)
-    writer = _summary_writer(logfolder)
+    if jax.process_count() > 1:
+        # process 0 prepares the logfolder first (it may rmtree on
+        # --overwrt); the barrier keeps other hosts from racing the delete
+        # with their own makedirs
+        from jax.experimental import multihost_utils
+
+        if jax.process_index() == 0:
+            logfolder = _make_logfolder(cfg)
+        multihost_utils.sync_global_devices("tftpu:logfolder")
+        if jax.process_index() != 0:
+            cfg.overwrt = False
+            logfolder = _make_logfolder(cfg)
+    else:
+        logfolder = _make_logfolder(cfg)
+    # only process 0 writes event files (all hosts compute identical
+    # scalars from replicated outputs — duplicate writers would interleave)
+    writer = _summary_writer(logfolder, enabled=jax.process_index() == 0)
 
     # ---- resolution schedule (train.py:204-215) ----
     aabb = np.asarray(train_dataset.scene_bbox, np.float32).reshape(2, 3)
@@ -333,10 +361,27 @@ def reconstruction(cfg: TrainConfig) -> str:
     if n_dev > 1:
         state.params = replicate(mesh, state.params)
         state.opt_state = replicate(mesh, state.opt_state)
+        if state.alpha_mask is not None:
+            # a ckpt-loaded mask lives on the default local device; step
+            # inputs must be global arrays under multi-process SPMD
+            state.alpha_mask = replicate(mesh, state.alpha_mask)
         print(f"data-parallel over {n_dev} devices: {mesh}")
 
+    n_proc = jax.process_count()
+
     def put_batch(arr):
+        """Device id batch: single-process -> shard the local array over
+        the mesh; multi-process -> each host contributes its local draw to
+        the GLOBAL sharded batch (mesh.py::global_ids_from_local)."""
+        if n_proc > 1:
+            return global_ids_from_local(mesh, np.asarray(arr))
         return shard_rays(mesh, jnp.asarray(arr)) if n_dev > 1 else jnp.asarray(arr)
+
+    def put_rep(x):
+        """Replicate a (host or single-device) value over the global mesh.
+        Multi-process jit inputs must be global jax.Arrays; single-process
+        keeps today's cheap local placement."""
+        return replicate(mesh, x) if n_proc > 1 else jnp.asarray(x)
 
     def put_store(arr):
         """Device-resident (replicated) copy of a ray/rgb store: batches
@@ -359,13 +404,17 @@ def reconstruction(cfg: TrainConfig) -> str:
             if resume_extra is not None else aabb
         )
         allrays, allrgbs = filter_rays_bbox(allrays, allrgbs, store_aabb)
-    # multi-host: each process keeps a disjoint strided shard of the
-    # filtered ray store and samples its share of the global batch, so no
-    # host loads or trains on another host's rays (the global batch is the
-    # union of per-host batches; per-host sampler seeds are decorrelated).
-    allrays, allrgbs, local_batch = shard_ray_store_per_host(
-        allrays, allrgbs, cfg.batch_size
-    )
+    # multi-host: the store stays bit-identical (and mesh-replicated) on
+    # every host — host disjointness lives in ID space: host p samples only
+    # ids p::n_proc of its per-step share of the global batch, so the
+    # global batch is a disjoint union of per-host draws and all
+    # stratification statics derive from identical full-store counts on
+    # every process (identical compiled step programs by construction).
+    host_pool, local_batch = host_ray_pool(allrays.shape[0], cfg.batch_size)
+
+    def pool_of(n_rays: int):
+        """This host's id pool after a store rebuild of size n_rays."""
+        return host_ray_pool(n_rays, cfg.batch_size)[0]
     if (
         resume_extra is not None
         and not ndc_ray
@@ -384,10 +433,12 @@ def reconstruction(cfg: TrainConfig) -> str:
             near_far,
         )
         print(f"[resume] store re-filtered to {allrays.shape[0]} rays")
+        host_pool = pool_of(allrays.shape[0])
     sampler = SimpleSampler(
         allrays.shape[0],
         local_batch,
         cfg.seed + start_iter + jax.process_index(),
+        pool=host_pool,
     )
     store_rays_d = put_store(allrays)
     store_rgbs_d = put_store(allrgbs)
@@ -426,8 +477,13 @@ def reconstruction(cfg: TrainConfig) -> str:
     overflow_strikes = [0]  # per active budget (len = n_strata or 1)
 
     # quota rounding keeps every per-stratum sub-batch evenly divisible
-    # across the device mesh (split boundaries align with shards)
-    quota_round = max(8, n_dev)
+    # across the device mesh (split boundaries align with shards) AND
+    # across processes: the smallest multiple of n_dev that is >= 8
+    # (identical to max(8, n_dev) for power-of-two meshes) makes every
+    # quota a multiple of n_dev, so q/n_proc is integral and itself a
+    # multiple of the per-host device count — max(8, n_dev) alone breaks
+    # at e.g. 3 hosts x 2 devices (quotas multiple of 8, not of 3)
+    quota_round = n_dev * -(-8 // n_dev)
 
     def coarse_ok() -> bool:
         return coarse_gate_valid(
@@ -530,6 +586,7 @@ def reconstruction(cfg: TrainConfig) -> str:
                     allrays.shape[0],
                     local_batch,
                     cfg.seed + iteration + jax.process_index(),
+                    pool=host_pool,
                 )
 
         if not cfg.stratify or ndc_ray:
@@ -603,12 +660,9 @@ def reconstruction(cfg: TrainConfig) -> str:
         quantiles = (
             tuple(cfg.strata_quantiles) if cfg.strata_quantiles else None
         )
-        n_proc = jax.process_count()
         if n_proc > 1:
             # alive-primary joint stratification is a single-host A/B tool
-            # (default off, measured negative in r3); the production
-            # candidate-primary path below has a synchronized multi-host
-            # variant, the joint path does not
+            # (default off, measured negative in r3)
             alive_counts = None
         if alive_counts is not None and bool(cfg.stratify_alive):
             # Alive-primary joint stratification: strata partitioned by
@@ -621,47 +675,26 @@ def reconstruction(cfg: TrainConfig) -> str:
             strata, budgets, alive_hints = stratify_rays_joint(
                 counts, alive_counts, quantiles=quantiles
             )
-            quota_sizes = [s.size for s in strata]
-        elif n_proc > 1:
-            # Multi-host SPMD sync: the ray store is sharded per host, so
-            # host-local edges/budgets/quotas (all STATIC ints baked into
-            # the compiled step) would diverge across processes -> mismatched
-            # programs/collectives.  Derive everything from the globally
-            # summed count histogram instead: identical statics everywhere.
-            # clip BEFORE both the histogram and the membership test:
-            # group-padded count sources can exceed n_samples, and a
-            # clipped histogram with unclipped membership would leave
-            # those (highest-cost) rays in no stratum
-            counts = np.minimum(counts, state.n_samples)
-            hist = host_allsum(
-                count_histogram(counts, length=state.n_samples)
-            )
-            bounds, g_sizes, budgets = stratify_edges(
-                hist, quantiles=quantiles
-            )
-            strata = strata_from_bounds(counts, bounds)
-            for i, sel in enumerate(strata):
-                if sel.size == 0:
-                    # this host has no rays in a globally non-empty
-                    # stratum: borrow lower-count rays (they fit the
-                    # budget exactly); the full local store only as a
-                    # monitored last resort (overflow strikes raise it)
-                    pool = np.nonzero(counts <= bounds[i][1])[0]
-                    strata[i] = pool if pool.size else np.arange(counts.size)
-            # quotas from GLOBAL sizes so every host draws the same
-            # per-stratum sub-batch shapes (SimpleSampler tiles if a local
-            # stratum is smaller than its quota)
-            quota_sizes = g_sizes
-            alive_hints = None
         else:
+            # Single- AND multi-host: the store is bit-identical on every
+            # process (host disjointness is in ID space — host_ray_pool),
+            # so this full-store plan IS the global plan: every host
+            # derives the same edges/budgets/quotas and compiles the same
+            # step program by construction (r3's histogram-sync path
+            # — host_allsum of per-shard histograms — is superseded by
+            # the identical-store invariant; stratify_edges remains the
+            # shared pure-function core).
             strata, budgets = stratify_rays(counts, quantiles=quantiles)
-            quota_sizes = [s.size for s in strata]
             alive_hints = None
-        if len(strata) * quota_round > local_batch:
+        quota_sizes = [s.size for s in strata]
+        if len(strata) * quota_round > cfg.batch_size:
             print(f"[{iteration}] stratify skipped (batch too small)")
             deactivate()
             return False
-        quotas = allocate_quotas(quota_sizes, local_batch, quota_round)
+        # GLOBAL quotas (= compiled sub-batch shapes); quota_round is a
+        # multiple of the device count, so each quota splits evenly over
+        # devices and over processes (n_proc divides n_dev)
+        quotas = allocate_quotas(quota_sizes, cfg.batch_size, quota_round)
         strata_budgets = [
             b if b < state.n_samples else None for b in budgets
         ]
@@ -670,13 +703,11 @@ def reconstruction(cfg: TrainConfig) -> str:
         # n_samples=C lattice — the fixed lattice work (sampling, probes,
         # window top-k) shrinks by C/n_samples per stratum.
         if chord_counts is not None:
+            # lattice caps are static too; identical full-store strata on
+            # every host make them identical without any cross-host max
             chord_max = np.asarray(
                 [int(chord_counts[sel].max()) for sel in strata], np.int64
             )
-            if n_proc > 1:
-                # lattice caps are static too: take the cross-host max so
-                # every process compiles the same per-stratum lattice
-                chord_max = host_allmax(chord_max)
             strata_n_samples = tuple(
                 min(state.n_samples, _budget_hint(int(c)))
                 for c in chord_max
@@ -696,9 +727,20 @@ def reconstruction(cfg: TrainConfig) -> str:
         else:
             strata_alive_budgets = None
         overflow_strikes = [0] * len(strata)
-        sampler = StratifiedSampler(
-            strata, quotas, cfg.seed + iteration + jax.process_index()
-        )
+        if n_proc > 1:
+            # localize: host p draws quota/n_proc ids per stratum from the
+            # pool slice of the (global) stratum; global_ids_from_local
+            # concatenates the per-host draws back into the compiled
+            # global sub-batch shapes
+            sampler = StratifiedSampler(
+                localize_strata(strata, counts, host_pool, state.n_samples),
+                [q // n_proc for q in quotas],
+                cfg.seed + iteration + jax.process_index(),
+            )
+        else:
+            sampler = StratifiedSampler(
+                strata, quotas, cfg.seed + iteration + jax.process_index()
+            )
         alive_note = (
             f", mean alive {alive_counts.mean():.1f}"
             if alive_counts is not None
@@ -795,7 +837,7 @@ def reconstruction(cfg: TrainConfig) -> str:
     psnrs_window, psnrs_test = [], [0.0]
     run_tic = time.time()
     rays_done = 0
-    aabb_j = jnp.asarray(state.geometry.aabb_np)
+    aabb_j = put_rep(state.geometry.aabb_np)
 
     # wedge watchdog (r3 incident automation): beats once per iteration;
     # compile-cache writes count as progress so long remote compiles never
@@ -998,7 +1040,10 @@ def reconstruction(cfg: TrainConfig) -> str:
             history["mse"].append(
                 round(float(jax.device_get(metrics)["mse"]), 5)
             )
-            if train_gift is not None:
+            # progress-GIF frames are a single-host nicety: skipping on ALL
+            # processes keeps multi-host lockstep (a process-0-only render
+            # would hang the others at the sharded-chunk collectives)
+            if train_gift is not None and n_proc == 1:
                 save_rendered_image_per_train(
                     train_gift,
                     test_gift,
@@ -1077,7 +1122,7 @@ def reconstruction(cfg: TrainConfig) -> str:
                 state.geometry = GridGeometry.create(
                     corrected, new_size, cfg.step_ratio
                 )
-                aabb_j = jnp.asarray(state.geometry.aabb_np)
+                aabb_j = put_rep(state.geometry.aabb_np)
                 # param shapes changed -> fresh optimizer state
                 lr_scale_cur = 1.0
                 optimizer, state.opt_state = make_optimizer(
@@ -1103,6 +1148,7 @@ def reconstruction(cfg: TrainConfig) -> str:
                 )
                 store_rays_d = put_store(allrays)
                 store_rgbs_d = put_store(allrgbs)
+                host_pool = pool_of(allrays.shape[0])
                 # keep per-host seed decorrelation after reseeding
                 # (ADVICE r2); restratify() below re-partitions the new
                 # store when stratification is on
@@ -1110,6 +1156,7 @@ def reconstruction(cfg: TrainConfig) -> str:
                     allrays.shape[0],
                     local_batch,
                     cfg.seed + iteration + jax.process_index(),
+                    pool=host_pool,
                 )
                 rebuild = True
             # L1 weight switches after the first alpha-mask event (upstream
@@ -1136,7 +1183,7 @@ def reconstruction(cfg: TrainConfig) -> str:
             state.geometry = GridGeometry.create(
                 state.geometry.aabb_np, new_grid, cfg.step_ratio
             )
-            aabb_j = jnp.asarray(state.geometry.aabb_np)
+            aabb_j = put_rep(state.geometry.aabb_np)
 
             if cfg.lr_upsample_reset:
                 lr_scale = 1.0
@@ -1185,7 +1232,8 @@ def reconstruction(cfg: TrainConfig) -> str:
     save_ckpt(final_path, iteration=cfg.n_iters - 1)
     watchdog.beat()
     elapsed = time.time() - run_tic
-    np.savetxt(f"{logfolder}/training_time.txt", np.asarray([elapsed]))
+    if jax.process_index() == 0:
+        np.savetxt(f"{logfolder}/training_time.txt", np.asarray([elapsed]))
     print(f"Total time {elapsed:.2f}s.")
 
     handle = make_handle()
@@ -1224,8 +1272,14 @@ def reconstruction(cfg: TrainConfig) -> str:
         )
 
     watchdog.stop()
-    np.savez(f"{logfolder}/history.npz", **{k: np.asarray(v) for k, v in history.items()})
-    create_gif(f"{logfolder}/gif/plot/vis_every", f"{logfolder}/gif/training.gif")
+    if jax.process_index() == 0:
+        np.savez(
+            f"{logfolder}/history.npz",
+            **{k: np.asarray(v) for k, v in history.items()},
+        )
+        create_gif(
+            f"{logfolder}/gif/plot/vis_every", f"{logfolder}/gif/training.gif"
+        )
     writer.close()
     return final_path
 

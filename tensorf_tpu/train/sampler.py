@@ -16,24 +16,40 @@ import numpy as np
 
 
 class SimpleSampler:
-    """Random-permutation batch sampler over a flat ray store."""
+    """Random-permutation batch sampler over a flat ray store.
 
-    def __init__(self, total: int, batch: int, seed: int = 20211202):
+    ``pool`` (optional): draw from this array of store ids instead of
+    ``range(total)`` — the multi-host layout keeps the store identical on
+    every host and gives each host a disjoint id pool
+    (parallel/mesh.py::host_ray_pool), so draws stay host-disjoint without
+    physically slicing the store.
+    """
+
+    def __init__(self, total: int, batch: int, seed: int = 20211202,
+                 pool=None):
+        if pool is not None:
+            pool = np.asarray(pool, np.int64)
+            total = pool.size
         if total <= 0:
             # an empty store/stratum cannot produce ids; fail loudly here
             # (a ZeroDivisionError later — or a hang at the next collective
             # on the other hosts — is much harder to diagnose)
             raise ValueError(
                 f"SimpleSampler: empty ray store (total={total}); on a "
-                "multi-host run this means this host's shard has no rays"
+                "multi-host run this means this host's id pool is empty"
             )
         self.total = total
         self.batch = batch
         self.curr = total
         self.ids = None
+        self.pool = pool
         self._rng = np.random.default_rng(seed)
 
     def nextids(self) -> np.ndarray:
+        out = self._next_positions()
+        return out if self.pool is None else self.pool[out]
+
+    def _next_positions(self) -> np.ndarray:
         if self.batch > self.total:
             # oversampled tiny store (e.g. a stratum smaller than its
             # quota): tile fresh permutations up to the batch size so the
@@ -98,6 +114,32 @@ def allocate_quotas(
         quotas, sizes, batch
     )
     return quotas
+
+
+def localize_strata(
+    strata: Sequence[np.ndarray],
+    counts: np.ndarray,
+    pool: np.ndarray,
+    fallback_max: int,
+) -> List[np.ndarray]:
+    """Per-host slice of a GLOBAL stratum plan (multi-host layout).
+
+    Every host computes the same ``strata`` over the identical full store;
+    host p then draws only from ``pool`` (its disjoint id subset).  A
+    stratum whose pool slice is empty borrows lower-count pool rays (they
+    fit the stratum budget exactly); the whole pool only as a last resort.
+    """
+    in_pool = np.zeros(counts.size, bool)
+    in_pool[pool] = True
+    out = []
+    for sel in strata:
+        loc = sel[in_pool[sel]]
+        if loc.size == 0:
+            bound = int(counts[sel].max()) if sel.size else int(fallback_max)
+            cand = pool[counts[pool] <= bound]
+            loc = cand if cand.size else pool
+        out.append(loc)
+    return out
 
 
 class StratifiedSampler:

@@ -204,32 +204,53 @@ def test_full_schedule_multidevice_matches_single(tmp_path):
     assert abs(psnr_1 - psnr_8) < 0.75, (psnr_1, psnr_8)
 
 
-def test_shard_ray_store_per_host(monkeypatch):
+def test_host_ray_pool(monkeypatch):
+    """Multi-host layout: the store stays identical everywhere; each host
+    gets a disjoint strided ID pool covering the store, and its per-step
+    share of the global batch."""
     from tensorf_tpu.parallel import mesh as pmesh
 
-    rays = np.arange(100 * 6, dtype=np.float32).reshape(100, 6)
-    rgbs = np.arange(100 * 3, dtype=np.float32).reshape(100, 3)
+    # single process: no pool, full batch
+    pool, b = pmesh.host_ray_pool(100, 64)
+    assert pool is None and b == 64
 
-    # single process: identity
-    r, g, b = pmesh.shard_ray_store_per_host(rays, rgbs, 64)
-    assert r is rays and g is rgbs and b == 64
-
-    # simulated 4-host run: disjoint strided shards covering everything
+    # simulated 4-host run: disjoint strided pools covering every id
     monkeypatch.setattr(jax, "process_count", lambda: 4)
-    shards = []
+    pools = []
     for p in range(4):
         monkeypatch.setattr(jax, "process_index", lambda p=p: p)
-        r, g, b = pmesh.shard_ray_store_per_host(rays, rgbs, 64)
+        pool, b = pmesh.host_ray_pool(100, 64)
         assert b == 16
-        np.testing.assert_array_equal(r, rays[p::4])
-        shards.append(r)
-    total = np.concatenate(shards)
-    assert total.shape[0] == 100
-    assert len(np.unique(total[:, 0])) == 100  # disjoint cover
+        np.testing.assert_array_equal(pool, np.arange(100)[p::4])
+        pools.append(pool)
+    total = np.concatenate(pools)
+    assert total.size == 100 and np.unique(total).size == 100
 
     # global batch must divide by host count
     with pytest.raises(ValueError):
-        pmesh.shard_ray_store_per_host(rays, rgbs, 63)
+        pmesh.host_ray_pool(100, 63)
+
+
+def test_simple_sampler_pool():
+    """Pool-restricted SimpleSampler only emits pool ids, covers the pool
+    across an epoch, and keeps the batch shape fixed when oversampling."""
+    from tensorf_tpu.train.sampler import SimpleSampler
+
+    pool = np.arange(100, dtype=np.int64)[1::4]  # host 1 of 4
+    s = SimpleSampler(100, 8, seed=3, pool=pool)
+    seen = set()
+    for _ in range(10):
+        ids = s.nextids()
+        assert ids.shape == (8,)
+        assert np.all(np.isin(ids, pool))
+        seen.update(ids.tolist())
+    assert seen == set(pool.tolist())
+
+    # oversampling a tiny pool tiles permutations at a fixed shape
+    tiny = np.asarray([7, 11, 13], np.int64)
+    s = SimpleSampler(100, 8, seed=0, pool=tiny)
+    ids = s.nextids()
+    assert ids.shape == (8,) and np.all(np.isin(ids, tiny))
 
 
 def test_sharded_serving_matches_single_device(rng):
@@ -293,19 +314,14 @@ def test_host_reductions_identity_and_gathered(monkeypatch):
 
 
 def test_multihost_stratify_statics_agree():
-    """ADVICE r3 (medium): under multi-host the ray store is sharded per
-    host, so host-local stratification would bake DIFFERENT static
-    edges/budgets/quotas into each process's compiled step (mismatched
-    SPMD programs).  The sync path derives everything from the globally
-    summed count histogram: verify two skew-split hosts produce identical
-    statics, equal to the single-host plan over the union."""
-    from tensorf_tpu.render.culling import (
-        count_histogram,
-        strata_from_bounds,
-        stratify_edges,
-        stratify_rays,
-    )
-    from tensorf_tpu.train.sampler import allocate_quotas
+    """Multi-host SPMD invariant (ADVICE r3 medium, redesigned r4): every
+    host computes the SAME stratum plan over the bit-identical full store,
+    so the compiled statics (edges/budgets/quotas/lattices) agree by
+    construction; per-host DRAWS localize each global stratum to the
+    host's disjoint id pool (train/sampler.py::localize_strata), borrowing
+    lower-count pool rays when a pool slice is empty."""
+    from tensorf_tpu.render.culling import stratify_rays
+    from tensorf_tpu.train.sampler import allocate_quotas, localize_strata
 
     rng = np.random.default_rng(3)
     n_samples = 96
@@ -314,37 +330,41 @@ def test_multihost_stratify_statics_agree():
         rng.integers(1, 40, 1600),
         rng.integers(40, n_samples + 1, 900),
     ])
-    # adversarial split: host 0 gets the low-count rays, host 1 the high
+    rng.shuffle(counts)
+
+    # the plan is a pure function of the identical counts: same strata,
+    # budgets, quotas on every host
+    strata, budgets = stratify_rays(counts)
+    quotas = allocate_quotas([s.size for s in strata], 256, 8)
+    n_proc = 4
+    local_quotas = [q // n_proc for q in quotas]
+    assert sum(local_quotas) * n_proc == 256
+
+    pools = [np.arange(counts.size, dtype=np.int64)[p::n_proc]
+             for p in range(n_proc)]
+    all_locals = []
+    for pool in pools:
+        loc = localize_strata(strata, counts, pool, n_samples)
+        assert len(loc) == len(strata)
+        for sel, lsel, b in zip(strata, loc, budgets):
+            assert lsel.size > 0
+            # local draws stay inside the pool and fit the stratum budget
+            assert np.all(np.isin(lsel, pool))
+            assert counts[lsel].max() <= b
+        all_locals.append(loc)
+    # non-borrowed local slices partition each global stratum disjointly
+    for i, sel in enumerate(strata):
+        union = np.concatenate([
+            np.intersect1d(all_locals[p][i], sel) for p in range(n_proc)
+        ])
+        np.testing.assert_array_equal(np.sort(union), np.sort(sel))
+
+    # adversarial pool: a host whose pool misses a stratum borrows
+    # lower-count pool rays that still fit the budget
     order = np.argsort(counts)
-    host_counts = [counts[order[:2500]], counts[order[2500:]]]
-
-    hists = [count_histogram(c, length=n_samples) for c in host_counts]
-    g_hist = hists[0] + hists[1]  # == host_allsum of the per-host hists
-    np.testing.assert_array_equal(
-        g_hist, count_histogram(counts, length=n_samples)
-    )
-
-    plans = []
-    for hc in host_counts:
-        bounds, sizes, budgets = stratify_edges(g_hist)
-        strata = strata_from_bounds(hc, bounds)
-        quotas = allocate_quotas(sizes, 256, 8)
-        plans.append((bounds, sizes, budgets, quotas, strata))
-
-    # every static (stratum count, edges, budgets, quotas) is identical
-    assert plans[0][:4] == plans[1][:4]
-    # and matches the single-host plan over the union store
-    u_strata, u_budgets = stratify_rays(counts)
-    assert plans[0][2] == u_budgets
-    assert plans[0][1] == [s.size for s in u_strata]
-    # per-host memberships partition each host's local rays
-    for (bounds, _, budgets, _, strata), hc in zip(plans, host_counts):
-        assert sum(s.size for s in strata) == hc.size
-        for sel, b in zip(strata, budgets):
-            if sel.size:
-                assert hc[sel].max() <= b
-    # the skew split leaves some strata host-locally empty (the scenario
-    # the restratify borrow path handles)
-    assert any(s.size == 0 for s in plans[0][4]) or any(
-        s.size == 0 for s in plans[1][4]
-    )
+    low_pool = order[:50]  # only the lowest-count rays
+    loc = localize_strata(strata, counts, low_pool, n_samples)
+    for lsel, b in zip(loc, budgets):
+        assert lsel.size > 0
+        assert np.all(np.isin(lsel, low_pool))
+        assert counts[lsel].max() <= b

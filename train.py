@@ -65,6 +65,19 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", cfg.platform)
+        # multi-process CPU runs (scripts/multihost_smoke.py): device count
+        # and the cross-process collectives backend must be set before the
+        # backend initializes — env vars are read here because
+        # sitecustomize pins the platform at interpreter start
+        if os.environ.get("TFTPU_CPU_DEVICES"):
+            jax.config.update(
+                "jax_num_cpu_devices", int(os.environ["TFTPU_CPU_DEVICES"])
+            )
+        if os.environ.get("TFTPU_CPU_COLLECTIVES"):
+            jax.config.update(
+                "jax_cpu_collectives_implementation",
+                os.environ["TFTPU_CPU_COLLECTIVES"],
+            )
 
     if cfg.auto_resume and argv:
         sys.exit(_supervise(list(argv), int(cfg.auto_resume)))
