@@ -114,8 +114,15 @@ def _write_video(path: str, frames: List[np.ndarray], fps: int = 30):
 
     try:
         imageio.mimwrite(path, np.stack(frames), fps=fps, quality=10)
-    except Exception as e:  # codec-free environments
-        print(f"[eval] video write skipped ({e})")
+    except Exception as e:  # codec-free environments: fall back to GIF so
+        # the video artifact (reference renderer.py:211-212) still exists
+        try:
+            gif = os.path.splitext(path)[0] + ".gif"
+            imageio.mimwrite(gif, np.stack(frames), format="GIF",
+                             duration=1.0 / fps, loop=0)
+            print(f"[eval] no mp4 backend ({type(e).__name__}); wrote {gif}")
+        except Exception as e2:
+            print(f"[eval] video write skipped ({e}; gif fallback: {e2})")
 
 
 def evaluation(

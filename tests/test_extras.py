@@ -114,3 +114,23 @@ def test_colmap2nerf_conversion(tmp_path):
     assert abs(data["camera_angle_x"] - 2 * np.arctan(800 / 1400)) < 1e-6
     m = np.asarray(data["frames"][0]["transform_matrix"])
     assert m.shape == (4, 4)
+
+
+def test_video_writer_gif_fallback(tmp_path, capsys):
+    """No mp4 codec in this environment (imageio lacks ffmpeg/pyav): the
+    video artifact (reference renderer.py:211-212) must still exist — the
+    writer falls back to an animated GIF next to the requested path."""
+    from tensorf_tpu.eval.evaluation import _write_video
+
+    frames = [
+        np.full((8, 8, 3), 40 * i, np.uint8) for i in range(4)
+    ]
+    _write_video(str(tmp_path / "video.mp4"), frames, fps=10)
+    wrote_mp4 = (tmp_path / "video.mp4").exists()
+    if not wrote_mp4:  # codec-free env: the documented fallback
+        gif = tmp_path / "video.gif"
+        assert gif.exists() and gif.stat().st_size > 0
+        import imageio.v2 as imageio
+
+        back = imageio.mimread(gif)
+        assert len(back) == 4 and back[0].shape[:2] == (8, 8)
