@@ -98,6 +98,8 @@ def save_checkpoint(
 def load_opt_leaves(path: str):
     """Ordered optimizer-state leaves saved by ``save_checkpoint``
     (None when the checkpoint carries no optimizer state)."""
+    if path.endswith(".th"):
+        return None  # reference checkpoints carry no optimizer state
     data = np.load(path, allow_pickle=False)
     keys = sorted(k for k in data.files if k.startswith("opt/"))
     if not keys:
@@ -106,7 +108,15 @@ def load_opt_leaves(path: str):
 
 
 def load_checkpoint(path: str):
-    """Returns (cfg, params, aabb (2,3) np, grid_size, alpha_mask|None, extra)."""
+    """Returns (cfg, params, aabb (2,3) np, grid_size, alpha_mask|None, extra).
+
+    A reference PyTorch ``.th`` checkpoint is accepted transparently
+    (converted in memory by utils/import_torch.py), so every ``--ckpt``
+    entry point works directly on checkpoints trained by the reference."""
+    if path.endswith(".th"):
+        from .import_torch import load_reference_checkpoint
+
+        return load_reference_checkpoint(path)
     data = np.load(path if path.endswith(".npz") else path, allow_pickle=False)
     kwargs = json.loads(bytes(data["kwargs"]).decode())
     grid_size = tuple(kwargs.pop("gridSize"))
