@@ -32,15 +32,10 @@ def main() -> int:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    from tensorf_tpu.utils.import_torch import load_reference_checkpoint
-    from tensorf_tpu.utils.ckpt import save_checkpoint
+    from tensorf_tpu.utils.import_torch import convert
 
-    cfg, params, aabb, grid_size, alpha_mask, _ = load_reference_checkpoint(
-        args.input
-    )
-    save_checkpoint(out, cfg, params, aabb, grid_size, alpha_mask)
-    print(f"[import] {args.input} ({cfg.model_name}, grid {grid_size}, "
-          f"alpha_mask={'yes' if alpha_mask is not None else 'no'}) -> {out}")
+    written = convert(args.input, out)
+    print(f"[import] {args.input} -> {written}")
     return 0
 
 

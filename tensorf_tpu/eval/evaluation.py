@@ -118,8 +118,9 @@ def _write_video(path: str, frames: List[np.ndarray], fps: int = 30):
         # the video artifact (reference renderer.py:211-212) still exists
         try:
             gif = os.path.splitext(path)[0] + ".gif"
+            # imageio's Pillow GIF writer takes duration in MILLISECONDS
             imageio.mimwrite(gif, np.stack(frames), format="GIF",
-                             duration=1.0 / fps, loop=0)
+                             duration=1000.0 / fps, loop=0)
             print(f"[eval] no mp4 backend ({type(e).__name__}); wrote {gif}")
         except Exception as e2:
             print(f"[eval] video write skipped ({e}; gif fallback: {e2})")

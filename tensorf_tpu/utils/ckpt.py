@@ -117,7 +117,7 @@ def load_checkpoint(path: str):
         from .import_torch import load_reference_checkpoint
 
         return load_reference_checkpoint(path)
-    data = np.load(path if path.endswith(".npz") else path, allow_pickle=False)
+    data = np.load(path, allow_pickle=False)
     kwargs = json.loads(bytes(data["kwargs"]).decode())
     grid_size = tuple(kwargs.pop("gridSize"))
     extra = kwargs.pop("extra", None)

@@ -51,6 +51,48 @@ def _comp(x) -> Tuple[int, ...]:
     return tuple(int(v) for v in x)
 
 
+def _near_far(kwargs: Dict[str, Any]) -> Tuple[float, float]:
+    raw = kwargs["near_far"]
+    try:
+        nf = tuple(float(v) for v in _np(raw).reshape(-1))
+        if len(nf) == 2:
+            return nf
+    except (TypeError, ValueError):
+        pass
+    # Authentic reference TensorCP checkpoints carry near_far='cuda'/'cpu':
+    # the only constructor call that works passes device positionally into
+    # TensorBase's near_far slot (tensoRF.py:331-332, SURVEY §2.11-13).
+    print(
+        f"[import] reference ckpt carries non-numeric near_far ({raw!r} — "
+        "the TensorCP device-into-near_far bug, tensoRF.py:331-332); "
+        "defaulting to (2.0, 6.0)"
+    )
+    return (2.0, 6.0)
+
+
+def _torch_load_safe(path: str) -> Dict[str, Any]:
+    """torch.load with weights_only=True: the reference pickle carries
+    numpy arrays (the bit-packed alpha mask, tensorBase.py:166), which the
+    weights-only unpickler rejects without an explicit allowlist — but a
+    --ckpt path is user input, so arbitrary-code pickle loading
+    (weights_only=False) is not acceptable in entry points."""
+    import torch
+    from torch.serialization import safe_globals
+
+    try:
+        reconstruct = np._core.multiarray._reconstruct  # numpy >= 2
+    except AttributeError:  # pragma: no cover - numpy 1.x
+        reconstruct = np.core.multiarray._reconstruct
+    import numpy.dtypes as _ndt
+
+    allow = [reconstruct, np.ndarray, np.dtype]
+    allow += [
+        getattr(_ndt, n) for n in dir(_ndt) if n.endswith("DType")
+    ]
+    with safe_globals(allow):
+        return torch.load(path, map_location="cpu", weights_only=True)
+
+
 def infer_model_name(sd_keys) -> str:
     keys = set(sd_keys)
     if any(k.startswith("density_plane.") for k in keys):
@@ -77,7 +119,7 @@ def cfg_from_reference_kwargs(kwargs: Dict[str, Any], model_name: str
         alpha_mask_thres=float(kwargs["alphaMask_thres"]),
         ray_march_weight_thres=float(kwargs["rayMarch_weight_thres"]),
         fea2dense_act=str(kwargs["fea2denseAct"]),
-        near_far=tuple(float(v) for v in _np(kwargs["near_far"]).reshape(-1)),
+        near_far=_near_far(kwargs),
         step_ratio=float(kwargs["step_ratio"]),
         shading_mode=str(kwargs["shadingMode"]),
         pos_pe=int(kwargs["pos_pe"]),
@@ -90,14 +132,20 @@ def cfg_from_reference_kwargs(kwargs: Dict[str, Any], model_name: str
 def _plane(arr: np.ndarray) -> np.ndarray:
     """(1, R, H, W) -> (H, W, R) float32 (channels-last)."""
     a = _np(arr)
-    assert a.ndim == 4 and a.shape[0] == 1, a.shape
+    if a.ndim != 4 or a.shape[0] != 1:
+        raise ValueError(
+            f"reference plane factor must be (1, R, H, W), got {a.shape}"
+        )
     return np.ascontiguousarray(a[0].transpose(1, 2, 0), np.float32)
 
 
 def _line(arr: np.ndarray) -> np.ndarray:
     """(1, R, L, 1) -> (L, R) float32."""
     a = _np(arr)
-    assert a.ndim == 4 and a.shape[0] == 1 and a.shape[-1] == 1, a.shape
+    if a.ndim != 4 or a.shape[0] != 1 or a.shape[-1] != 1:
+        raise ValueError(
+            f"reference line factor must be (1, R, L, 1), got {a.shape}"
+        )
     return np.ascontiguousarray(a[0, :, :, 0].T, np.float32)
 
 
@@ -164,7 +212,10 @@ def convert_reference_state_dict(
         return params, grid
     if model_name == "TensorVM":
         pc, lc = _np(sd["plane_coef"]), _np(sd["line_coef"])
-        assert pc.ndim == 4 and pc.shape[0] == 3, pc.shape
+        if pc.ndim != 4 or pc.shape[0] != 3:
+            raise ValueError(
+                f"legacy plane_coef must be (3, C, res, res), got {pc.shape}"
+            )
         planes = tuple(
             np.ascontiguousarray(pc[i].transpose(1, 2, 0), np.float32)
             for i in range(3)
@@ -205,9 +256,7 @@ def load_reference_checkpoint(path: str):
     """Read a reference ``.th`` -> (cfg, params, aabb, grid_size,
     alpha_mask, extra) — the exact return contract of
     ``utils/ckpt.py::load_checkpoint``."""
-    import torch  # the only torch dependency: unpickling the .th
-
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    ckpt = _torch_load_safe(path)
     sd = {k: _np(v) for k, v in ckpt["state_dict"].items()}
     kwargs = ckpt["kwargs"]
     model_name = infer_model_name(sd.keys())
@@ -217,7 +266,11 @@ def load_reference_checkpoint(path: str):
     )
     if "gridSize" in kwargs:
         saved = tuple(int(g) for g in _np(kwargs["gridSize"]).reshape(-1))
-        assert saved == tuple(grid_size), (saved, grid_size)
+        if saved != tuple(grid_size):
+            raise ValueError(
+                f"checkpoint kwargs gridSize {saved} disagrees with the "
+                f"factor shapes ({grid_size}) — truncated/corrupt .th?"
+            )
     aabb = _np(kwargs["aabb"]).astype(np.float32).reshape(2, 3)
     import jax
     import jax.numpy as jnp

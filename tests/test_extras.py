@@ -134,3 +134,9 @@ def test_video_writer_gif_fallback(tmp_path, capsys):
 
         back = imageio.mimread(gif)
         assert len(back) == 4 and back[0].shape[:2] == (8, 8)
+        # frame timing must survive: 10 fps -> 100 ms/frame (imageio's
+        # Pillow GIF writer takes duration in ms; seconds would write 0)
+        from PIL import Image
+
+        with Image.open(gif) as im:
+            assert im.info.get("duration", 0) == 100

@@ -53,15 +53,15 @@ def _ref_model(model_name: str, seed: int = 3):
                              device="cpu")
     if model_name == "TensorCP":
         args = dict(REF_ARGS, density_n_comp=[4, 4, 4], app_n_comp=[5, 5, 5])
-        # Reference bug (new ledger entry): TensorCP.__init__ forwards its
+        # Reference bug (SURVEY §2.11-13): TensorCP.__init__ forwards its
         # positional `device` into TensorBase's near_far slot
         # (tensoRF.py:331-332), so passing near_far= at all raises
         # TypeError — the reference's own keyword construction
         # (train.py:227-247) cannot build a TensorCP.  Construct the only
-        # way that works and repair near_far before saving.
-        model = TensorCP(args, aabb, list(GRID), "cpu")
-        model.near_far = [2.0, 6.0]
-        return model
+        # way that works; the saved ckpt then carries near_far='cpu',
+        # exactly what a real migrating user's CP checkpoint holds (the
+        # importer must fall back, see test below).
+        return TensorCP(args, aabb, list(GRID), "cpu")
     # legacy TensorVM: int ranks, cubic grid (init_svd_volume takes one res)
     args = dict(REF_ARGS, density_n_comp=3, app_n_comp=4)
     return TensorVM(args, aabb, [8, 8, 8], [2.0, 6.0], "cpu")
@@ -97,6 +97,10 @@ def test_import_feature_parity(tmp_path, rng, model_name):
     assert cfg.model_name == model_name
     assert tuple(grid_size) == tuple(GRID)
     np.testing.assert_array_equal(aabb, np.asarray(AABB, np.float32))
+    # VMSplit: genuine near_far round-trips; CP: the authentic ckpt carries
+    # near_far='cpu' (device-into-near_far ctor bug) and the importer falls
+    # back — see test_near_far_fallback for the distinguishing unit test
+    assert cfg.near_far == (2.0, 6.0)
 
     xyz = rng.uniform(-1, 1, size=(57, 3)).astype(np.float32)
     model = FIELD_MODELS[model_name]
@@ -154,6 +158,17 @@ def test_import_legacy_tensorvm(tmp_path, rng):
         ref_app = ref.compute_appfeature(t_xyz).numpy()
     np.testing.assert_allclose(den, ref_den, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(app, ref_app, rtol=1e-4, atol=1e-5)
+
+
+def test_near_far_fallback():
+    """Non-numeric near_far (the TensorCP device-into-near_far bug) falls
+    back to (2, 6); numeric values round-trip exactly."""
+    from tensorf_tpu.utils.import_torch import _near_far
+
+    assert _near_far({"near_far": "cpu"}) == (2.0, 6.0)
+    assert _near_far({"near_far": "cuda"}) == (2.0, 6.0)
+    assert _near_far({"near_far": [0.5, 7.5]}) == (0.5, 7.5)
+    assert _near_far({"near_far": torch.tensor([1.0, 3.0])}) == (1.0, 3.0)
 
 
 def test_th_loads_directly_everywhere(tmp_path, rng):
