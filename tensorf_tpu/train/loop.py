@@ -71,7 +71,12 @@ from ..render.culling import (
     stratify_rays_joint,
     update_alpha_mask,
 )
-from ..utils.ckpt import load_checkpoint, load_opt_leaves, save_checkpoint
+from ..utils.ckpt import (
+    load_aux,
+    load_checkpoint,
+    load_opt_leaves,
+    save_checkpoint,
+)
 from ..utils.watchdog import Watchdog
 from .losses import LossWeights
 from .optim import make_optimizer
@@ -256,6 +261,10 @@ def reconstruction(cfg: TrainConfig) -> str:
 
     state = TrainerState()
     key = jax.random.PRNGKey(cfg.seed)
+    # per-step randomness is STATELESS — fold_in(base, iteration) — so a
+    # resumed run replays the exact key stream a clean run would have used
+    # at the same iterations (bit-exact resume; `key` above only seeds init)
+    base_key = jax.random.PRNGKey(cfg.seed)
 
     # ---- model init / resume (train.py:218-247) ----
     # --resume 1: wedge recovery — continue the run in this logfolder from
@@ -311,7 +320,6 @@ def reconstruction(cfg: TrainConfig) -> str:
         # change geometry without touching it) — restore the saved value
         state.n_samples = int(resume_extra.get("n_samples", state.n_samples))
         lr_scale_cur = float(resume_extra.get("lr_scale", 1.0))
-        key = jax.random.PRNGKey(cfg.seed + start_iter)
         print(
             f"[resume] continuing at iteration {start_iter} "
             f"(n_samples {state.n_samples}, lr_scale {lr_scale_cur:g})"
@@ -758,10 +766,67 @@ def reconstruction(cfg: TrainConfig) -> str:
         )
         return True
 
+    def restore_sampling_state() -> bool:
+        """Bit-exact resume (single-host): restore the live stratification
+        plan + sampler RNG/permutation states saved by save_ckpt, instead
+        of re-deriving strata from CURRENT params (which differ from the
+        event-time params a clean run stratified on) and reseeding.
+        Returns False — caller restratifies — when the ckpt predates this
+        feature, the store changed shape, or the run is multi-host."""
+        nonlocal sampler, strata_budgets, strata_alive_budgets
+        nonlocal strata_n_samples, overflow_strikes
+        if resume_extra is None or n_proc > 1:
+            return False
+        meta = resume_extra.get("sampler")
+        if not meta:
+            return False
+        try:
+            aux = load_aux(cfg.ckpt_path)
+            if meta["kind"] == "stratified":
+                n = len(meta["samplers"])
+                strata = [
+                    np.asarray(aux[f"sampler/strata/{i}"], np.int64)
+                    for i in range(n)
+                ]
+                if any(
+                    s.size and int(s.max()) >= allrays.shape[0]
+                    for s in strata
+                ):
+                    raise ValueError("saved strata exceed the ray store")
+                quotas = [int(q) for q in meta["quotas"]]
+                if sum(quotas) != local_batch:
+                    raise ValueError("saved quotas do not sum to the batch")
+                smp = StratifiedSampler(strata, quotas, cfg.seed)
+                smp.set_state(meta, [
+                    aux.get(f"sampler/ids/{i}") for i in range(n)
+                ])
+            else:
+                smp = SimpleSampler(
+                    allrays.shape[0], local_batch, cfg.seed, pool=host_pool
+                )
+                smp.set_state(meta, aux.get("sampler/ids"))
+            sampler = smp
+            strata_budgets = resume_extra.get("strata_budgets")
+            strata_alive_budgets = resume_extra.get("strata_alive_budgets")
+            sns = resume_extra.get("strata_n_samples")
+            strata_n_samples = tuple(sns) if sns else None
+            overflow_strikes = list(
+                resume_extra.get("overflow_strikes", [0])
+            )
+            kind = meta["kind"]
+            print(f"[resume] sampling state restored ({kind}) — bit-exact")
+            return True
+        except (KeyError, ValueError) as e:
+            print(f"[resume] sampling-state restore failed ({e}); "
+                  "restratifying instead")
+            return False
+
     # partition the store up front: by in-bbox chord counts in the
     # prefilter phase, by mask candidate counts when resumed mid-schedule
+    # (or restored verbatim from the ckpt for bit-exact resume)
     if start_iter < cfg.n_iters:
-        restratify(start_iter)
+        if not restore_sampling_state():
+            restratify(start_iter)
         step_fn = make_train_step(
             model, model_cfg, build_statics(), optimizer
         )
@@ -810,6 +875,7 @@ def reconstruction(cfg: TrainConfig) -> str:
             return
         extra = None
         opt = None
+        aux = None
         if iteration is not None:
             extra = {
                 "iteration": int(iteration),
@@ -821,6 +887,33 @@ def reconstruction(cfg: TrainConfig) -> str:
                 "prefilter_run": int(prefilter_run),
             }
             opt = jax.device_get(state.opt_state)
+            if n_proc == 1:
+                # single-host bit-exact resume: the live stratification
+                # plan + sampler RNG/permutation states ride along, so
+                # --resume 1 replays the clean run's draw stream exactly
+                # (multi-host keeps the reseed path: per-host sampler
+                # state can't live in the one ckpt process 0 writes)
+                extra["strata_budgets"] = strata_budgets
+                extra["strata_alive_budgets"] = strata_alive_budgets
+                extra["strata_n_samples"] = (
+                    list(strata_n_samples)
+                    if strata_n_samples is not None else None
+                )
+                extra["overflow_strikes"] = list(overflow_strikes)
+                aux = {}
+                if isinstance(sampler, StratifiedSampler):
+                    meta, strata_arrays, idss = sampler.get_state()
+                    extra["sampler"] = {"kind": "stratified", **meta}
+                    for i, s in enumerate(strata_arrays):
+                        aux[f"sampler/strata/{i}"] = s
+                    for i, ids in enumerate(idss):
+                        if ids is not None:
+                            aux[f"sampler/ids/{i}"] = ids
+                else:
+                    meta, ids = sampler.get_state()
+                    extra["sampler"] = {"kind": "simple", **meta}
+                    if ids is not None:
+                        aux["sampler/ids"] = ids
         save_checkpoint(
             path,
             model_cfg,
@@ -830,6 +923,7 @@ def reconstruction(cfg: TrainConfig) -> str:
             state.alpha_mask,
             extra=extra,
             opt_state=opt,
+            aux=aux,
         )
 
     # ---- the loop (train.py:296-485, intended semantics) ----
@@ -869,7 +963,7 @@ def reconstruction(cfg: TrainConfig) -> str:
             ids_d = tuple(put_batch(i.astype(np.int32)) for i in ids)
         else:
             ids_d = put_batch(ids.astype(np.int32))
-        key, sub = jax.random.split(key)
+        sub = jax.random.fold_in(base_key, iteration)
 
         if cfg.profile_dir and iteration == cfg.profile_start:
             jax.profiler.start_trace(cfg.profile_dir)

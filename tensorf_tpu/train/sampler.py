@@ -49,6 +49,29 @@ class SimpleSampler:
         out = self._next_positions()
         return out if self.pool is None else self.pool[out]
 
+    def get_state(self):
+        """(json-able meta, permutation array | None) — everything needed
+        to continue this sampler's draw stream bit-exactly after a resume
+        (the reference has no resume at all; SURVEY §5)."""
+        meta = {
+            "total": int(self.total),
+            "batch": int(self.batch),
+            "curr": int(self.curr),
+            "rng": self._rng.bit_generator.state,
+            "has_ids": self.ids is not None,
+        }
+        return meta, (None if self.ids is None else np.asarray(self.ids))
+
+    def set_state(self, meta, ids) -> None:
+        if int(meta["total"]) != self.total or int(meta["batch"]) != self.batch:
+            raise ValueError(
+                f"sampler state mismatch: saved total/batch "
+                f"{meta['total']}/{meta['batch']} vs {self.total}/{self.batch}"
+            )
+        self.curr = int(meta["curr"])
+        self._rng.bit_generator.state = meta["rng"]
+        self.ids = None if not meta.get("has_ids") else np.asarray(ids, np.int64)
+
     def _next_positions(self) -> np.ndarray:
         if self.batch > self.total:
             # oversampled tiny store (e.g. a stratum smaller than its
@@ -169,3 +192,24 @@ class StratifiedSampler:
         return tuple(
             s[smp.nextids()] for s, smp in zip(self.strata, self.samplers)
         )
+
+    def get_state(self):
+        """(json-able meta, strata id arrays, per-stratum permutation
+        arrays) for bit-exact resume; rebuild with ``StratifiedSampler``
+        on the saved strata/quotas and apply ``set_state``."""
+        metas, idss = [], []
+        for smp in self.samplers:
+            m, ids = smp.get_state()
+            metas.append(m)
+            idss.append(ids)
+        return (
+            {"quotas": [int(q) for q in self.quotas], "samplers": metas},
+            list(self.strata),
+            idss,
+        )
+
+    def set_state(self, meta, idss) -> None:
+        if len(meta["samplers"]) != len(self.samplers):
+            raise ValueError("stratum count mismatch in sampler state")
+        for smp, m, ids in zip(self.samplers, meta["samplers"], idss):
+            smp.set_state(m, ids)

@@ -64,6 +64,7 @@ def save_checkpoint(
     alpha_mask: Optional[AlphaGridMask] = None,
     extra: Optional[Dict[str, Any]] = None,
     opt_state=None,
+    aux: Optional[Dict[str, np.ndarray]] = None,
 ):
     """``opt_state`` (any pytree, e.g. optax state) is stored as ordered
     leaves — ``load_opt_leaves`` returns them for ``tree_unflatten`` against
@@ -87,6 +88,12 @@ def save_checkpoint(
         leaves = jax.tree_util.tree_leaves(opt_state)
         for i, leaf in enumerate(leaves):
             entries[f"opt/{i:05d}"] = np.asarray(leaf)
+    if aux:
+        # free-form arrays riding along with the checkpoint (bit-exact
+        # resume stores sampler permutations / strata id sets here);
+        # fetched by load_aux, ignored by load_checkpoint
+        for k, v in aux.items():
+            entries[f"aux/{k}"] = np.asarray(v)
     # atomic: a wedge/kill mid-write must never corrupt the checkpoint
     # --resume depends on (np.savez appends .npz to extension-less paths)
     tmp = f"{path}.tmp"
@@ -105,6 +112,17 @@ def load_opt_leaves(path: str):
     if not keys:
         return None
     return [jnp.asarray(data[k]) for k in keys]
+
+
+def load_aux(path: str) -> Dict[str, np.ndarray]:
+    """Free-form aux arrays saved by ``save_checkpoint`` (empty for
+    reference ``.th`` checkpoints and checkpoints without aux)."""
+    if path.endswith(".th"):
+        return {}
+    data = np.load(path, allow_pickle=False)
+    return {
+        k[len("aux/"):]: data[k] for k in data.files if k.startswith("aux/")
+    }
 
 
 def load_checkpoint(path: str):
