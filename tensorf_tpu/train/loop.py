@@ -914,6 +914,8 @@ def reconstruction(cfg: TrainConfig) -> str:
                     extra["sampler"] = {"kind": "simple", **meta}
                     if ids is not None:
                         aux["sampler/ids"] = ids
+                for k, v in history.items():
+                    aux[f"history/{k}"] = np.asarray(v)
         save_checkpoint(
             path,
             model_cfg,
@@ -928,6 +930,13 @@ def reconstruction(cfg: TrainConfig) -> str:
 
     # ---- the loop (train.py:296-485, intended semantics) ----
     history = defaultdict(list)
+    if resume_extra is not None:
+        # continuity of the observability record: resumable ckpts carry
+        # the history rows accumulated before the kill, so the final
+        # history.npz spans the whole run, not just the resumed tail
+        for k, v in load_aux(cfg.ckpt_path).items():
+            if k.startswith("history/"):
+                history[k[len("history/"):]] = list(np.asarray(v))
     psnrs_window, psnrs_test = [], [0.0]
     run_tic = time.time()
     rays_done = 0

@@ -1,5 +1,7 @@
 """Checkpoint-resume path and alpha-gate semantics tests."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -455,7 +457,9 @@ def test_resume_is_bit_exact(tmp_path, capsys, monkeypatch):
         fea_pe=2,
         density_shift=-3.0,
         vis_every=1000,
-        train_vis_every=1000,
+        # history rows at 10/20/30/40 — rows 10..30 predate the kill and
+        # must survive into the resumed run's history.npz (continuity)
+        train_vis_every=10,
         render_test=0,
         progress_refresh_rate=100,
         n_devices=1,
@@ -520,6 +524,12 @@ def test_resume_is_bit_exact(tmp_path, capsys, monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(mask_a.volume), np.asarray(mask_b.volume)
         )
+        # observability continuity: the resumed run's history.npz spans
+        # the WHOLE run (rows 10..30 were written before the kill)
+        hist = np.load(
+            os.path.join(os.path.dirname(resumed), "history.npz")
+        )
+        assert list(hist["iteration"]) == [10, 20, 30, 40]
     finally:
         dataset_dict["blender"] = orig
         _KillAtBeat.kill_at = None
