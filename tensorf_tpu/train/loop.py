@@ -482,6 +482,7 @@ def reconstruction(cfg: TrainConfig) -> str:
     strata_budgets: Optional[list] = None  # None = unstratified
     strata_alive_budgets: Optional[list] = None  # stage-2 exact-alive caps
     strata_n_samples: Optional[tuple] = None  # per-stratum chord lattices
+    strata_loss_w: Optional[list] = None  # store-share loss weights
     overflow_strikes = [0]  # per active budget (len = n_strata or 1)
 
     # quota rounding keeps every per-stratum sub-batch evenly divisible
@@ -548,6 +549,9 @@ def reconstruction(cfg: TrainConfig) -> str:
                 if strata_n_samples is not None
                 else None
             ),
+            strata_loss_weights=(
+                tuple(strata_loss_w) if strata_loss_w is not None else None
+            ),
             # the per-ray budget only becomes exact once the alpha mask
             # culls most samples; before that every in-box sample is alive
             # and a budget would truncate rays mid-scene — unless the user
@@ -577,18 +581,19 @@ def reconstruction(cfg: TrainConfig) -> str:
         reference economy matched: tensorBase.py:360-375 pays each ray's
         own alive count).  Returns True when stratification is active."""
         nonlocal sampler, strata_budgets, strata_alive_budgets
-        nonlocal strata_n_samples, overflow_strikes
+        nonlocal strata_n_samples, strata_loss_w, overflow_strikes
 
         def deactivate():
             # fall back to the plain sampler consistently: a stale
             # stratified sampler/budget pair must never outlive a store
             # refilter (treedef/shape mismatch with the step signature)
             nonlocal sampler, strata_budgets, strata_alive_budgets
-            nonlocal strata_n_samples, overflow_strikes
+            nonlocal strata_n_samples, strata_loss_w, overflow_strikes
             if strata_budgets is not None:
                 strata_budgets = None
                 strata_alive_budgets = None
                 strata_n_samples = None
+                strata_loss_w = None
                 overflow_strikes = [0]
                 sampler = SimpleSampler(
                     allrays.shape[0],
@@ -735,6 +740,13 @@ def reconstruction(cfg: TrainConfig) -> str:
         else:
             strata_alive_budgets = None
         overflow_strikes = [0] * len(strata)
+        # store-share loss weights: quotas are rounded/floored to mesh
+        # multiples, so per-ray inclusion probability deviates from
+        # uniform on small strata — weighting each stratum's loss by its
+        # STORE share keeps the gradient estimator exactly the uniform-
+        # sampling expectation the reference optimizes (train.py:44-56)
+        total_sz = float(sum(quota_sizes))
+        strata_loss_w = [s / total_sz for s in quota_sizes]
         if n_proc > 1:
             # localize: host p draws quota/n_proc ids per stratum from the
             # pool slice of the (global) stratum; global_ids_from_local
@@ -774,7 +786,7 @@ def reconstruction(cfg: TrainConfig) -> str:
         Returns False — caller restratifies — when the ckpt predates this
         feature, the store changed shape, or the run is multi-host."""
         nonlocal sampler, strata_budgets, strata_alive_budgets
-        nonlocal strata_n_samples, overflow_strikes
+        nonlocal strata_n_samples, strata_loss_w, overflow_strikes
         if resume_extra is None or n_proc > 1:
             return False
         meta = resume_extra.get("sampler")
@@ -810,6 +822,7 @@ def reconstruction(cfg: TrainConfig) -> str:
             strata_alive_budgets = resume_extra.get("strata_alive_budgets")
             sns = resume_extra.get("strata_n_samples")
             strata_n_samples = tuple(sns) if sns else None
+            strata_loss_w = resume_extra.get("strata_loss_w")
             overflow_strikes = list(
                 resume_extra.get("overflow_strikes", [0])
             )
@@ -899,6 +912,7 @@ def reconstruction(cfg: TrainConfig) -> str:
                     list(strata_n_samples)
                     if strata_n_samples is not None else None
                 )
+                extra["strata_loss_w"] = strata_loss_w
                 extra["overflow_strikes"] = list(overflow_strikes)
                 aux = {}
                 if isinstance(sampler, StratifiedSampler):

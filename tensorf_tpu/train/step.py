@@ -83,6 +83,15 @@ class TrainStatics(NamedTuple):
     # itself (budget < n_samples fails) — the capped lattice IS the
     # compaction (the mask-free prefilter case).
     strata_n_samples: Optional[Tuple[int, ...]] = None
+    # Per-stratum LOSS weights: each stratum's share of the ray STORE
+    # (size_s / N).  Quotas are rounded to device-mesh multiples and
+    # floored at round_to, so per-ray inclusion probability deviates from
+    # uniform by up to ~10% on small strata; weighting each stratum's loss
+    # by its store share (instead of its drawn sub-batch share) makes the
+    # gradient estimator exactly the store-uniform expectation — the same
+    # objective the reference's uniform sampler optimizes (train.py:44-56).
+    # None = legacy sub-batch-share weighting.
+    strata_loss_weights: Optional[Tuple[float, ...]] = None
 
 
 def _build_masks(cfg: ModelConfig, statics: TrainStatics, step) -> FreeMasks:
@@ -164,6 +173,12 @@ def make_train_step(model, cfg: ModelConfig, statics: TrainStatics, optimizer):
             assert len(strata_ns) == len(statics.strata_budgets)
             sizes = [int(i.shape[0]) for i in ids]
             total_rays = float(sum(sizes))
+            if statics.strata_loss_weights is not None:
+                assert len(statics.strata_loss_weights) == len(ids)
+                wsum = float(sum(statics.strata_loss_weights))
+                loss_w = [float(x) / wsum for x in statics.strata_loss_weights]
+            else:
+                loss_w = [s / total_rays for s in sizes]
             keys = jax.random.split(key, len(ids))
             mse = 0.0
             occ = 0.0
@@ -179,7 +194,7 @@ def make_train_step(model, cfg: ModelConfig, statics: TrainStatics, optimizer):
                     params, alpha_mask, aabb, rays_s, keys[s], masks,
                     budget_s, "cand", alive_budgets[s], strata_ns[s],
                 )
-                w = sizes[s] / total_rays
+                w = loss_w[s]
                 mse = mse + w * mse_loss(out.rgb, rgbs_s)
                 mean_alive = mean_alive + w * out.mean_alive_samples
                 num_valid = num_valid + out.num_valid_samples
