@@ -142,6 +142,14 @@ class TrainConfig:
     # empty = cost-optimal DP partition (render/culling.py::_optimal_edges);
     # a quantile list forces explicit stratum edges.
     strata_quantiles: List[float] = dataclasses.field(default_factory=list)
+    # Noise-matched stratification (default on): per-step stratum loss
+    # weights drawn m/B, m ~ Multinomial(B, store shares) inside jit, so
+    # the gradient estimator carries the SAME between-strata composition
+    # noise as the reference's uniform sampler (quota-fixed batches
+    # measured 0.71x the uniform gradient noise — scripts/grad_noise.py —
+    # and the round-4 few-shot quality A/B showed the quieter estimator
+    # generalizing ~0.9 dB worse at matched seeds).  0 = fixed weights.
+    stratify_noise_match: int = 1
     # Stratified serving: bucket eval/render rays by candidate count and
     # render each bucket at its own budget (exact by construction).
     stratify_render: int = 1

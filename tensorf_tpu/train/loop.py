@@ -552,6 +552,7 @@ def reconstruction(cfg: TrainConfig) -> str:
             strata_loss_weights=(
                 tuple(strata_loss_w) if strata_loss_w is not None else None
             ),
+            strata_noise_match=bool(cfg.stratify_noise_match),
             # the per-ray budget only becomes exact once the alpha mask
             # culls most samples; before that every in-box sample is alive
             # and a budget would truncate rays mid-scene — unless the user

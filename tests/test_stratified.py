@@ -608,3 +608,85 @@ def test_simple_sampler_tiles_tiny_store():
         ids = s.nextids()
         assert ids.shape == (16,)
         assert set(ids.tolist()) == set(range(5))  # covers the store
+
+
+def test_multinomial_shares_distribution():
+    """_multinomial_shares: non-negative, sums to 1, correct mean, and the
+    variance of a multinomial composition (noise-matched stratification)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tensorf_tpu.train.step import _multinomial_shares
+
+    probs = (0.55, 0.3, 0.1, 0.05)
+    n = 2048.0
+    draws = np.stack([
+        np.asarray(jnp.stack(
+            _multinomial_shares(jax.random.PRNGKey(k), n, probs)
+        ))
+        for k in range(200)
+    ])
+    assert (draws >= 0).all()
+    np.testing.assert_allclose(draws.sum(1), 1.0, atol=1e-6)
+    # counts are integers/n
+    np.testing.assert_allclose(draws * n, np.round(draws * n), atol=1e-3)
+    p = np.asarray(probs)
+    np.testing.assert_allclose(draws.mean(0), p, atol=0.01)
+    # multinomial share variance p(1-p)/n, loose CI at 200 draws
+    np.testing.assert_allclose(
+        draws.var(0), p * (1 - p) / n, rtol=0.35
+    )
+
+
+def test_noise_matched_step_unbiased_and_varying(setup, rng):
+    """strata_noise_match: per-key loss weights vary (composition noise)
+    while the average over keys matches the fixed-weight loss."""
+    from tensorf_tpu.train.losses import LossWeights
+    from tensorf_tpu.train.optim import make_optimizer
+    from tensorf_tpu.train.step import TrainStatics, make_train_step
+
+    model, params, mask = setup
+    store = _rays(np.random.default_rng(5), 256)
+    rgbs = np.random.default_rng(6).uniform(size=(256, 3)).astype(np.float32)
+    counts = count_ray_candidates(
+        store, mask, np.asarray(AABB), STEP, (2.0, 6.0), n_samples=NS
+    )
+    strata, budgets = stratify_rays(counts, quantiles=(0.5,))
+    budgets = [b if b < NS else None for b in budgets]
+    d = np.random.default_rng(8)
+    ids = tuple(
+        np.asarray(s[d.integers(0, s.size, size=16)], np.int32)
+        for s in strata
+    )
+    shares = tuple(s.size / float(counts.size) for s in strata)
+
+    common = dict(
+        n_samples=NS, step_size=STEP, white_bg=True, ndc_ray=False,
+        total_steps=100, lr_factor=0.999, weights=LossWeights(),
+        from_store=True, strata_budgets=tuple(budgets),
+        strata_loss_weights=shares,
+    )
+    optimizer, opt_state = make_optimizer(params, 0.02, 1e-3, 0.999)
+    fixed_fn = make_train_step(
+        model, CFG, TrainStatics(**common), optimizer
+    )
+    match_fn = make_train_step(
+        model, CFG, TrainStatics(strata_noise_match=True, **common),
+        optimizer,
+    )
+
+    def mse_of(fn, k):
+        _, _, m = fn(
+            jax.tree.map(jnp.copy, params),
+            jax.tree.map(jnp.copy, opt_state),
+            mask, AABB, jnp.asarray(store), jnp.asarray(rgbs),
+            tuple(jnp.asarray(i) for i in ids),
+            jnp.asarray(0, jnp.int32), jax.random.PRNGKey(k),
+        )
+        return float(m["mse"])
+
+    ref = mse_of(fixed_fn, 0)
+    vals = np.asarray([mse_of(match_fn, k) for k in range(40)])
+    assert np.std(vals) > 0  # composition noise present
+    # per-stratum render is key-jittered too, so compare means loosely
+    assert abs(np.mean(vals) - ref) < 0.15 * abs(ref) + 1e-4
