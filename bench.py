@@ -469,33 +469,48 @@ def main():
         for (name, _, _, _), t in vm_times
     }
 
+    # VERDICT r4 #4: stdout must stay a compact (<~1KB) single JSON line —
+    # the driver captures only a 2000-char tail, and BENCH_r04 lost the
+    # headline metric to bench_params/roofline bloat.  Full detail
+    # (bench_params, per-width roofline ceilings, baseline provenance)
+    # goes to the sidecar BENCH_DETAIL.json + stderr.
+    detail = {
+        # vs_baseline normalizes to 1.2e5 rays/s — the upstream TensoRF
+        # literature figure for this config on a 2080Ti-class GPU (the
+        # reference repo publishes no numbers; no GPU here to measure one)
+        "baseline_note": "vs_baseline = measured / 1.2e5 rays/s (2080Ti-"
+                         "class literature figure; see bench.py docstring)",
+        "phase_ms_cp": {
+            name: round(t * 1e3, 1) for (name, _, _, _), t in cp_times
+        },
+        "bench_params": params_bench,
+        **roof,
+    }
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(sidecar, "w") as f:
+        json.dump(detail, f, indent=1)
+    import sys
+    print(json.dumps(detail), file=sys.stderr)
+
     out = {
         "metric": "train_rays_per_sec_per_chip",
         "value": round(vm_rays, 1),
         "unit": "rays/s",
         "vs_baseline": round(vm_rays / BASELINE_RAYS_PER_SEC, 3),
-        # VERDICT r3 weak-6: the normalization basis, stated in-band.  No
-        # GPU exists here; torch-CPU measures ~3.7k rays/s (PARITY_RUN.md)
-        "baseline_note": (
-            "vs_baseline normalizes to 1.2e5 rays/s — the upstream TensoRF "
-            "literature figure for this config on a 2080Ti-class GPU (the "
-            "reference repo publishes no numbers; no GPU in this env to "
-            "measure one)"
-        ),
         "cp_rays_per_sec": round(cp_rays, 1),
         "cp_vs_baseline": round(cp_rays / BASELINE_RAYS_PER_SEC, 3),
         "phase_ms_vm": {
             name: round(t * 1e3, 1) for (name, _, _, _), t in vm_times
         },
-        "phase_ms_cp": {
-            name: round(t * 1e3, 1) for (name, _, _, _), t in cp_times
-        },
         "floor_ms_vm": floors,
         "vs_roofline_vm": vs_roofline,
-        "bench_params": params_bench,
-        **roof,
+        "detail": "BENCH_DETAIL.json",
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    assert len(line) < 1500, f"headline line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -20,7 +20,7 @@ post-training configuration through THREE render drivers:
 Stratified serving is CONTENT-dependent (bucket sizes come from the
 scene), so this benchmark loads the real trained checkpoint + real test
 camera (BENCH_PARAMS.json source_ckpt by default) rather than a synthetic
-occupancy volume.  Writes RENDER_r03.json at the repo root and prints it.
+occupancy volume.  Writes RENDER_r05.json at the repo root and prints it.
 """
 
 import os
@@ -74,10 +74,31 @@ def main():
             d = json.load(f)
         budget = int(d.get("sample_budget", budget))
         ckpt = ckpt or d.get("source_ckpt")
-    assert ckpt and os.path.exists(ckpt), (
-        f"need a trained checkpoint (got {ckpt}); run the full schedule "
-        "first (configs/synth_full.txt) or pass --ckpt"
-    )
+    if not (ckpt and os.path.exists(ckpt)):
+        # VERDICT r4 #2: degrade gracefully — the r4 recovery checklist
+        # died here on a VM-reset-deleted ckpt.  Fall back to the newest
+        # trained checkpoint under log/, else emit a well-formed JSON
+        # error line (exit 0) so downstream checklist steps still run.
+        import glob
+
+        cands = sorted(
+            glob.glob(os.path.join(ROOT, "log", "**", "*.npz"),
+                      recursive=True),
+            key=os.path.getmtime,
+        )
+        cands = [c for c in cands if "history" not in os.path.basename(c)]
+        if cands:
+            ckpt = cands[-1]
+            print(f"[bench_render] falling back to newest ckpt: {ckpt}",
+                  file=sys.stderr)
+        else:
+            print(json.dumps({
+                "metric": "render_800x800_fps", "value": 0.0,
+                "unit": "frames/s",
+                "error": f"no trained checkpoint (got {ckpt}, none under "
+                         "log/); run configs/synth_full.txt or pass --ckpt",
+            }))
+            return
 
     cfg, params, aabb_np, grid, mask, _ = load_checkpoint(ckpt)
     model = FIELD_MODELS[cfg.model_name]
@@ -143,7 +164,7 @@ def main():
     }
     line = json.dumps(out)
     print(line)
-    with open(os.path.join(ROOT, "RENDER_r03.json"), "w") as f:
+    with open(os.path.join(ROOT, "RENDER_r05.json"), "w") as f:
         f.write(line + "\n")
 
 
