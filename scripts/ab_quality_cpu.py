@@ -14,8 +14,19 @@ than assumed.
 Reference experiment analog: /root/reference/train.py:450-480 (the
 schedule whose endpoint quality must not regress under our batching).
 
+Round 5 (VERDICT r4 #5): four arms at matched seeds, with the
+noise-match fix now default-on —
+
+  unstrat      stratify=0                  (reference-composition baseline)
+  strat        stratify=1 (defaults)       (the fix: noise-matched, shipping)
+  strat_nonm   stratify=1 noise_match=0    (the r4 defect configuration —
+                                            should reproduce the ~-0.9 dB
+                                            generalization gap)
+  diag_single  stratify=1, one stratum     (machinery control: stratified
+               (strata_quantiles=[1.0])     code path, uniform composition)
+
 Runs sequentially (1 CPU core — CLAUDE.md); compile cache makes seeds
-after the first much cheaper.  Writes AB_QUALITY_CPU_r04.json.
+after the first much cheaper.  Writes AB_QUALITY_CPU_r05.json.
 
   python scripts/ab_quality_cpu.py [--seeds 3] [--iters 3000]
 """
@@ -31,13 +42,34 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+# the A/B's 40x40 scene gets its OWN directory: round 5 found that writing
+# it to data/synth_sphere silently downgraded the verify-skill scene
+# (800x800, same path, gitignored — the VM reset deleted it and this
+# script's regeneration won the race), which cost a verify drive ~4.6 dB
+SCENE_DIR = os.path.join(ROOT, "data", "synth_sphere_ab40")
+
+
 def ensure_scene() -> None:
-    path = os.path.join(ROOT, "data", "synth_sphere")
-    if not os.path.exists(os.path.join(path, "transforms_train.json")):
+    if not os.path.exists(os.path.join(SCENE_DIR, "transforms_train.json")):
         sys.path.insert(0, ROOT)
         from tensorf_tpu.data.synthetic import make_synthetic_blender_scene
 
-        make_synthetic_blender_scene(path, n_train=10, n_test=2, wh=(40, 40))
+        make_synthetic_blender_scene(
+            SCENE_DIR, n_train=10, n_test=2, wh=(40, 40))
+
+
+ARM_FLAGS = {
+    # the shipping default: noise-matched stratification (the fix)
+    "strat": ["--stratify", "1", "--stratify_prefilter", "1"],
+    "unstrat": ["--stratify", "0", "--stratify_prefilter", "0"],
+    # the r4 defect configuration: quota-fixed stratified batches
+    "strat_nonm": ["--stratify", "1", "--stratify_prefilter", "1",
+                   "--stratify_noise_match", "0"],
+    # machinery control: stratified code path, single stratum -> uniform
+    # composition (distinguishes composition effects from code-path bugs)
+    "diag_single": ["--stratify", "1", "--stratify_prefilter", "0",
+                    "--strata_quantiles", "[1.0]"],
+}
 
 
 def run_one(arm: str, seed: int, iters: int) -> dict:
@@ -46,15 +78,13 @@ def run_one(arm: str, seed: int, iters: int) -> dict:
     cmd = [
         sys.executable, os.path.join(ROOT, "train.py"),
         "--config", os.path.join(ROOT, "configs/synth_long.txt"),
+        "--datadir", SCENE_DIR,
         "--platform", "cpu",
         "--expname", exp,
         "--basedir", os.path.join(ROOT, "log_ab"),
         "--n_iters", str(iters),
         "--seed", str(seed),
-        "--stratify", "1" if arm == "strat" else "0",
-        # keep the warm-up prefilter stratification tied to the arm too:
-        # the unstratified arm must be the plain single-budget baseline
-        "--stratify_prefilter", "1" if arm == "strat" else "0",
+        *ARM_FLAGS[arm],
         "--N_vis", "2",
         "--vis_every", "0",
         "--train_vis_every", "0",
@@ -83,10 +113,11 @@ def main() -> int:
     args = ap.parse_args()
     ensure_scene()
     runs = []
-    # interleave arms so a mid-experiment interrupt still leaves pairs
+    # interleave arms so a mid-experiment interrupt still leaves pairs;
+    # the two headline arms run first at every seed, diagnostics after
     for i in range(args.seeds):
         seed = 20211202 + 1000 * i
-        for arm in ("strat", "unstrat"):
+        for arm in ("strat", "unstrat", "strat_nonm", "diag_single"):
             r = run_one(arm, seed, args.iters)
             runs.append(r)
             print(json.dumps(r), flush=True)
@@ -102,11 +133,13 @@ def _write(runs, args) -> None:
     pairs = {}
     for r in runs:
         pairs.setdefault(r["seed"], {})[r["arm"]] = r["psnr"]
-    deltas = [
-        p["strat"] - p["unstrat"]
-        for p in pairs.values()
-        if p.get("strat") is not None and p.get("unstrat") is not None
-    ]
+    def paired(a, b):
+        return [
+            round(p[a] - p[b], 3)
+            for p in pairs.values()
+            if p.get(a) is not None and p.get(b) is not None
+        ]
+
     summary = {
         "runs": runs,
         "iters": args.iters,
@@ -120,10 +153,13 @@ def _write(runs, args) -> None:
             }
             for a, v in by_arm.items()
         },
-        "paired_delta_strat_minus_unstrat": [round(d, 3) for d in deltas],
+        "paired_delta_strat_minus_unstrat": paired("strat", "unstrat"),
+        "paired_delta_nonm_minus_unstrat": paired("strat_nonm", "unstrat"),
+        "paired_delta_single_minus_unstrat": paired("diag_single",
+                                                    "unstrat"),
         "platform": "cpu",
     }
-    with open(os.path.join(ROOT, "AB_QUALITY_CPU_r04.json"), "w") as f:
+    with open(os.path.join(ROOT, "AB_QUALITY_CPU_r05.json"), "w") as f:
         json.dump(summary, f, indent=1)
 
 

@@ -193,6 +193,28 @@ class TrainerState:
 
 
 def reconstruction(cfg: TrainConfig) -> str:
+    # wedge watchdog (r3 incident automation), armed BEFORE any device
+    # contact: the r5 flagship relaunch wedged inside setup (bbox-filter
+    # dispatch at backend init — no train-loop beat had ever happened, so
+    # the r4 in-loop watchdog placement would hang forever).  Setup
+    # milestones beat it below; compile-cache writes count as progress so
+    # long remote compiles never false-fire.  On stall it exits resumable
+    # (code 17) — relaunch with --resume 1.
+    watchdog = Watchdog(
+        cfg.wedge_timeout_s,
+        tag=cfg.expname,
+        resume_hint="python train.py ... --resume 1",
+        # only THIS run's compile cache counts as progress — NOT the
+        # pytest conftest's /tmp/jax_cache, whose writes from a concurrent
+        # CPU test process would indefinitely suppress wedge detection
+        cache_dirs=[
+            d for d in dict.fromkeys((
+                os.environ.get("JAX_COMPILATION_CACHE_DIR"),
+                "/tmp/jax_cache_tpu",
+            )) if d
+        ],
+    ).start()
+
     if cfg.distributed:
         # multi-host: one process per host joins the global device mesh;
         # XLA collectives then ride ICI within slices / DCN across hosts
@@ -228,6 +250,7 @@ def reconstruction(cfg: TrainConfig) -> str:
     )
     train_gift = _gift_dataset(dataset_cls, cfg, "train")
     test_gift = _gift_dataset(dataset_cls, cfg, "test")
+    watchdog.beat()  # setup milestone: datasets loaded (host-side)
 
     white_bg = train_dataset.white_bg
     near_far = tuple(float(v) for v in train_dataset.near_far)
@@ -412,6 +435,7 @@ def reconstruction(cfg: TrainConfig) -> str:
             if resume_extra is not None else aabb
         )
         allrays, allrgbs = filter_rays_bbox(allrays, allrgbs, store_aabb)
+    watchdog.beat()  # setup milestone: first device dispatch survived
     # multi-host: the store stays bit-identical (and mesh-replicated) on
     # every host — host disjointness lives in ID space: host p samples only
     # ids p::n_proc of its per-step share of the global batch, so the
@@ -957,26 +981,12 @@ def reconstruction(cfg: TrainConfig) -> str:
     rays_done = 0
     aabb_j = put_rep(state.geometry.aabb_np)
 
-    # wedge watchdog (r3 incident automation): beats once per iteration;
-    # compile-cache writes count as progress so long remote compiles never
-    # false-fire.  On stall it exits resumable (code 17) — relaunch with
-    # --resume 1 to continue from the newest periodic checkpoint.
-    watchdog = Watchdog(
-        cfg.wedge_timeout_s,
-        tag=cfg.expname,
-        resume_hint=(
-            f"python train.py ... --resume 1 (logfolder {logfolder})"
-        ),
-        # only THIS run's compile cache counts as progress — NOT the
-        # pytest conftest's /tmp/jax_cache, whose writes from a concurrent
-        # CPU test process would indefinitely suppress wedge detection
-        cache_dirs=[
-            d for d in dict.fromkeys((
-                os.environ.get("JAX_COMPILATION_CACHE_DIR"),
-                "/tmp/jax_cache_tpu",
-            )) if d
-        ],
-    ).start()
+    # in-loop continuation of the setup-phase watchdog armed at function
+    # entry: from here on it beats once per iteration
+    watchdog.resume_hint = (
+        f"python train.py ... --resume 1 (logfolder {logfolder})"
+    )
+    watchdog.beat()
 
     for iteration in range(start_iter, cfg.n_iters):
         watchdog.beat()

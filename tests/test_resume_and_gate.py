@@ -471,8 +471,10 @@ def test_resume_is_bit_exact(tmp_path, capsys, monkeypatch):
         pass
 
     class _KillAtBeat:
-        """Watchdog stand-in that dies at the Nth beat (beat #32 = the top
-        of iteration 31, right after the periodic ckpt at 30)."""
+        """Watchdog stand-in that dies at the Nth beat.  The watchdog is
+        armed at reconstruction() entry (r5: setup-phase coverage), so the
+        loop beats start after 3 setup beats — beat #35 = the top of
+        iteration 31, right after the periodic ckpt at 30."""
 
         kill_at = None
 
@@ -496,7 +498,7 @@ def test_resume_is_bit_exact(tmp_path, capsys, monkeypatch):
         )
 
         monkeypatch.setattr(loop_mod, "Watchdog", _KillAtBeat)
-        _KillAtBeat.kill_at = 32
+        _KillAtBeat.kill_at = 35
         try:
             loop_mod.reconstruction(
                 TrainConfig(expname="exact_resume", **common)
