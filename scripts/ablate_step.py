@@ -19,6 +19,7 @@ import os
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import argparse
+import dataclasses
 import json
 import sys
 import time
@@ -33,6 +34,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", default="C", choices=["A", "C"])
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (compile smoke test while "
+                         "the TPU is owned by a training run)")
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--grid", type=int, default=0,
+                    help="override the phase grid (CPU smoke tests)")
     args = ap.parse_args()
 
     import importlib.util
@@ -44,6 +51,9 @@ def main():
     spec.loader.exec_module(bench)
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from tensorf_tpu.utils.cache import enable_compile_cache
 
@@ -57,9 +67,9 @@ def main():
     from tensorf_tpu.render.volume import render_rays
 
     params_bench = bench.load_params()
-    grid = 300 if args.phase == "C" else 128
+    grid = args.grid or (300 if args.phase == "C" else 128)
     mask_on = args.phase == "C"
-    batch = 4096
+    batch = args.batch
 
     cfg = ModelConfig(
         model_name="TensorVMSplit", density_n_comp=(16, 16, 16),
@@ -107,6 +117,10 @@ def main():
                  None)
             ]
 
+    if batch != 4096:
+        # smoke-test batches: scale the measured 4096-ray quotas down
+        strata = [(max(1, q * batch // 4096), *rest) for q, *rest in strata]
+
     def _barrier(o):
         # scalar device_get is the only reliable barrier on axon; sum the
         # first leaf (one XLA program -> completion is all-or-nothing)
@@ -148,6 +162,70 @@ def main():
         return jnp.concatenate(outs)
 
     topk = 32 if mask_on else None
+
+    # ---- isolation stubs (round 5): decompose the floor gap ------------
+    # mlp_off: shading head replaced by a 3-channel slice — keeps the
+    # appearance gather (features feed the stub) but removes the MLP's
+    # matmuls + PE + their activation traffic.
+    import tensorf_tpu.render.volume as volume_mod
+
+    real_apply_shading = volume_mod.apply_shading
+
+    def _stub_shading(cfg_, params_, pts, viewdirs, features, masks_):
+        return jax.nn.sigmoid(features[:, :3])
+
+    class _DenOnly(model):
+        """Appearance half removed in BOTH render paths (unsplit
+        fused_features and the split path's app_feature_fused): no app
+        gather, no app backward scatter; zeros keep downstream shapes."""
+
+        @staticmethod
+        def fused_features(cfg_, params_, xyz, den_mask, app_mask):
+            den = model.density_feature_fused(cfg_, params_, xyz, den_mask)
+            app = jnp.zeros(xyz.shape[:-1] + (cfg_.app_dim,), xyz.dtype)
+            return den, app
+
+        @staticmethod
+        def app_feature_fused(cfg_, params_, xyz, mask):
+            return jnp.zeros(xyz.shape[:-1] + (cfg_.app_dim,), xyz.dtype)
+
+    class _SampleOnly(_DenOnly):
+        """No table reads at all — sampling + compaction + composite
+        skeleton.  The tiny scalar param term keeps the backward alive
+        (otherwise XLA dead-code-eliminates the whole grad program)."""
+
+        @staticmethod
+        def fused_features(cfg_, params_, xyz, den_mask, app_mask):
+            den = params_["basis"][0, 0] * 1e-3 * xyz[..., 0]
+            app = jnp.zeros(xyz.shape[:-1] + (cfg_.app_dim,), xyz.dtype)
+            return den, app
+
+        @staticmethod
+        def density_feature_fused(cfg_, params_, xyz, mask):
+            return params_["basis"][0, 0] * 1e-3 * xyz[..., 0]
+
+    def render_with(model_, cfg_, params_, rays_, *, shade_top_k,
+                    use_budget=True):
+        outs = []
+        start = 0
+        for q, K, K2, *ne in strata:
+            ne = ne[0] if (ne and ne[0]) else n_samples
+            sub = jax.lax.dynamic_slice_in_dim(rays_, start % batch, q)
+            start += q
+            out = render_rays(
+                model_, cfg_, params_, mask, sub, None, FreeMasks(),
+                aabb=aabb, step_size=step_size, n_samples=ne,
+                is_train=False, white_bg=True, ndc_ray=False,
+                shade_top_k=shade_top_k, fused=True,
+                sample_budget=(K if use_budget else None),
+                budget_mode="cand" if mask_on else "alive",
+                alive_budget=(K2 if use_budget else None),
+            )
+            outs.append(out.rgb)
+        return jnp.concatenate(outs)
+
+    cfg_bf16 = dataclasses.replace(cfg, dtype="bfloat16")
+
     variants = {
         "fwd": jax.jit(
             lambda p, r: render_strata(p, r, shade_top_k=topk)
@@ -174,15 +252,46 @@ def main():
                 p, r, shade_top_k=topk, use_budget=False
             )
         ),
+        "fwd_bwd_bf16mlp": jax.jit(
+            jax.grad(
+                lambda p, r: jnp.sum(
+                    render_with(model, cfg_bf16, p, r, shade_top_k=topk)
+                ),
+            )
+        ),
+    }
+    # patched variants: (name, model_cls, stub_shading?)
+    patched = {
+        "fwd_mlp_off": (model, True, False),
+        "fwd_bwd_mlp_off": (model, True, True),
+        "fwd_den_only": (_DenOnly, True, False),
+        "fwd_bwd_den_only": (_DenOnly, True, True),
+        "fwd_sample_only": (_SampleOnly, True, False),
+        "fwd_bwd_sample_only": (_SampleOnly, True, True),
     }
     out = {"phase": args.phase, "strata": strata, "n_samples": n_samples}
     for name, fn in variants.items():
         try:
             t = timed(fn, params, rays)
             out[name + "_ms"] = round(t * 1e3, 1)
-            print(f"{name:14s} {t*1e3:8.1f} ms", flush=True)
+            print(f"{name:18s} {t*1e3:8.1f} ms", flush=True)
         except Exception as e:
-            print(f"{name:14s} FAILED {type(e).__name__}: {e}", flush=True)
+            print(f"{name:18s} FAILED {type(e).__name__}: {e}", flush=True)
+    for name, (model_, stub, bwd) in patched.items():
+        def base(p, r, _m=model_):
+            return jnp.sum(render_with(_m, cfg, p, r, shade_top_k=topk))
+
+        fn = jax.jit(jax.grad(base) if bwd else base)
+        try:
+            if stub:
+                volume_mod.apply_shading = _stub_shading
+            t = timed(fn, params, rays)
+            out[name + "_ms"] = round(t * 1e3, 1)
+            print(f"{name:18s} {t*1e3:8.1f} ms", flush=True)
+        except Exception as e:
+            print(f"{name:18s} FAILED {type(e).__name__}: {e}", flush=True)
+        finally:
+            volume_mod.apply_shading = real_apply_shading
     print(json.dumps(out))
 
 
