@@ -33,6 +33,13 @@ ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", default="C", choices=["A", "C"])
+    ap.add_argument("--model", default="TensorVMSplit",
+                    choices=["TensorVMSplit", "TensorCP"],
+                    help="field model to attribute (CP mirrors bench.py's "
+                         "16/48 lego.txt configuration)")
+    ap.add_argument("--line_dtype", default="float32",
+                    help="one-hot line-matrix dtype (bfloat16 = the r3 "
+                         "measured ~6ms/step lever, now a separate knob)")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (compile smoke test while "
@@ -71,11 +78,20 @@ def main():
     mask_on = args.phase == "C"
     batch = args.batch
 
-    cfg = ModelConfig(
-        model_name="TensorVMSplit", density_n_comp=(16, 16, 16),
-        app_n_comp=(48, 48, 48), app_dim=27, shading_mode="MLP_Fea",
-        pos_pe=2, view_pe=2, fea_pe=2, feature_c=128,
-    )
+    if args.model == "TensorCP":
+        cfg = ModelConfig(
+            model_name="TensorCP", density_n_comp=(16,), app_n_comp=(48,),
+            app_dim=27, shading_mode="MLP_Fea",
+            pos_pe=2, view_pe=2, fea_pe=2, feature_c=128,
+            line_dtype=args.line_dtype,
+        )
+    else:
+        cfg = ModelConfig(
+            model_name="TensorVMSplit", density_n_comp=(16, 16, 16),
+            app_n_comp=(48, 48, 48), app_dim=27, shading_mode="MLP_Fea",
+            pos_pe=2, view_pe=2, fea_pe=2, feature_c=128,
+            line_dtype=args.line_dtype,
+        )
     model = FIELD_MODELS[cfg.model_name]
     gs = (grid, grid, grid)
     n_samples = cal_n_samples(gs, 0.5)
@@ -269,7 +285,9 @@ def main():
         "fwd_sample_only": (_SampleOnly, True, False),
         "fwd_bwd_sample_only": (_SampleOnly, True, True),
     }
-    out = {"phase": args.phase, "strata": strata, "n_samples": n_samples}
+    out = {"phase": args.phase, "model": args.model,
+           "line_dtype": args.line_dtype,
+           "strata": strata, "n_samples": n_samples}
     for name, fn in variants.items():
         try:
             t = timed(fn, params, rays)

@@ -20,6 +20,7 @@ from the repo root:  python scripts/multihost_smoke.py
 Writes MULTIHOST_SMOKE_r04.json at the repo root.
 """
 
+import argparse
 import json
 import os
 import re
@@ -29,7 +30,6 @@ import sys
 import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-N_PROC = 2
 N_ITERS = 280  # crosses upsample@150, mask+shrink@200, refilter@260
 TIMEOUT_S = 3600
 
@@ -53,18 +53,28 @@ def ensure_scene() -> str:
 
 
 def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n_proc", type=int, default=2,
+                    help="process count; devices-per-process is 8//n_proc "
+                         "so every factorization shares the same 8-device "
+                         "global mesh (and thus the same strata statics)")
+    ap.add_argument("--out", default="MULTIHOST_SMOKE_r04.json")
+    args = ap.parse_args()
+    n_proc = args.n_proc
+    assert 8 % n_proc == 0, n_proc
+    dev_per = 8 // n_proc
     ensure_scene()
     port = free_port()
     logdir = os.path.join(ROOT, "log_mh")
     procs, logs = [], []
     tic = time.time()
-    for rank in range(N_PROC):
+    for rank in range(n_proc):
         env = dict(os.environ)
         env.update(
             TFTPU_COORDINATOR=f"localhost:{port}",
-            TFTPU_NUM_PROCESSES=str(N_PROC),
+            TFTPU_NUM_PROCESSES=str(n_proc),
             TFTPU_PROCESS_ID=str(rank),
-            TFTPU_CPU_DEVICES="4",
+            TFTPU_CPU_DEVICES=str(dev_per),
             TFTPU_CPU_COLLECTIVES="gloo",
             JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_mh",
         )
@@ -108,7 +118,9 @@ def main() -> int:
             return [ln.strip() for ln in f if re.search(pat, ln)]
 
     strat = [lines_of(lg, r"stratified ray store:") for lg in logs]
-    statics_match = strat[0] == strat[1] and len(strat[0]) > 0
+    statics_match = (
+        all(s == strat[0] for s in strat[1:]) and len(strat[0]) > 0
+    )
     psnr = None
     for ln in lines_of(logs[0], r"test all psnr"):
         m = re.search(r"psnr: ([0-9.]+)", ln)
@@ -129,8 +141,8 @@ def main() -> int:
         "ok": ok,
         "rcs": rcs,
         "wall_s": round(wall, 1),
-        "n_processes": N_PROC,
-        "devices_per_process": 4,
+        "n_processes": n_proc,
+        "devices_per_process": dev_per,
         "n_iters": N_ITERS,
         "statics_lines_per_rank": [len(s) for s in strat],
         "statics_match": statics_match,
@@ -138,7 +150,7 @@ def main() -> int:
         "mean_txt": mean_txt,
         "collectives": "gloo",
     }
-    out = os.path.join(ROOT, "MULTIHOST_SMOKE_r04.json")
+    out = os.path.join(ROOT, args.out)
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))

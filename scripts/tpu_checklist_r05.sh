@@ -22,6 +22,23 @@ log "ablate_A rc=$?"
 timeout 2400 python scripts/ablate_step.py --phase C \
   > /tmp/ablate_C_r05.log 2>&1
 log "ablate_C rc=$?"
+# CP 0.949x -> >=1.2x lever: bf16 one-hot line matrices (r3 measured
+# ~6ms/step on VM; CP is all-lines so the effect should be larger).
+# fp32/bf16 pair on the same process-fresh program set.
+timeout 2400 python scripts/ablate_step.py --phase C --model TensorCP \
+  > /tmp/ablate_CP_fp32_r05.log 2>&1
+log "ablate_CP_fp32 rc=$?"
+timeout 2400 python scripts/ablate_step.py --phase C --model TensorCP \
+  --line_dtype bfloat16 > /tmp/ablate_CP_bf16_r05.log 2>&1
+log "ablate_CP_bf16 rc=$?"
+# Same lever on VM: r3 measured ~6ms/step from bf16 one-hot lines but it
+# was tied to the losing plane-table bf16; line_dtype separates them.
+timeout 2400 python scripts/ablate_step.py --phase C \
+  --line_dtype bfloat16 > /tmp/ablate_C_bf16line_r05.log 2>&1
+log "ablate_C_bf16line rc=$?"
+timeout 2400 python scripts/ablate_step.py --phase A \
+  --line_dtype bfloat16 > /tmp/ablate_A_bf16line_r05.log 2>&1
+log "ablate_A_bf16line rc=$?"
 timeout 3600 python scripts/bench_render.py > /tmp/render_r05.log 2>&1
 log "render rc=$?"
 timeout 2400 python scripts/ablate_render.py \

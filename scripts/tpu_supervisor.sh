@@ -21,7 +21,8 @@ STOP=/tmp/tpu_supervisor.stop
 cd "$(dirname "$0")/.."
 
 probe() {
-  timeout 90 python - <<'EOF' >/dev/null 2>&1
+  # device init through the tunnel alone is ~70-90s — bound well above it
+  timeout 180 python - <<'EOF' >/dev/null 2>&1
 from tensorf_tpu.utils.cache import enable_compile_cache
 enable_compile_cache()
 import jax, jax.numpy as jnp

@@ -130,6 +130,9 @@ class TrainConfig:
     shade_top_k: int = 0  # 0 = shade all samples; >0 = top-K compaction
     compute_dtype: str = "float32"  # shading MLP compute dtype
     grid_dtype: str = "float32"  # factor-grid gather/scatter compute dtype
+    # one-hot-lerp matrix dtype for line matmul sampling (bf16 halves the
+    # step's largest materialized intermediate; planes stay grid_dtype)
+    line_dtype: str = "float32"
     # Per-ray candidate cap in the mask-free phase (iters before the first
     # alphaMask event); 0 = use sample_budget there too only if set.
     prefilter_budget: int = 0
@@ -237,4 +240,5 @@ def model_config_from(cfg: TrainConfig) -> ModelConfig:
         feature_c=cfg.featureC,
         dtype=cfg.compute_dtype,
         grid_dtype=cfg.grid_dtype,
+        line_dtype=cfg.line_dtype,
     )

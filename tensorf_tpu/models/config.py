@@ -52,6 +52,17 @@ class ModelConfig:
     # most expensive op; see scripts/bench_ops.py).  Parameters, optimizer
     # state and regularizers stay float32 regardless.
     grid_dtype: str = "float32"
+    # Dtype of the one-hot-lerp matrices in line-factor matmul sampling,
+    # SEPARATE from grid_dtype: bf16 one-hot matrices halve the step's
+    # largest materialized intermediate (the (M, L) interpolation matrix,
+    # ~6 ms/step on v5e) without touching the plane-table dtype (bf16
+    # plane tables were a measured LOSS — XLA convert passes around the
+    # backward scatter).  Interpolation weights lose ~2^-9 relative
+    # precision; opt-in until a matched-seed quality A/B justifies a
+    # default flip (full CPU drive at bf16: 31.67 dB vs the 32.07 dB
+    # fp32 clean run on the sphere preset — within trajectory noise of
+    # the 30 dB bar but not proven neutral).
+    line_dtype: str = "float32"
 
     # --- FreeNeRF mask bit lengths (reference models/tensorBase.py:81-83) ---
     @property

@@ -54,10 +54,12 @@ def _sample_line_packed(lpacked, coord, a_dtype=None):
 
 
 def _line_a_dtype(cfg):
-    """One-hot matrix dtype for line matmuls: bf16 when the model opts
-    into reduced-precision grid sampling (cfg.grid_dtype)."""
-    gdt = jnp.dtype(cfg.grid_dtype)
-    return gdt if gdt == jnp.bfloat16 else None
+    """One-hot matrix dtype for line matmuls: bf16 when the model opts in
+    via cfg.line_dtype (or legacy blanket cfg.grid_dtype=bfloat16)."""
+    for d in (getattr(cfg, "line_dtype", "float32"), cfg.grid_dtype):
+        if jnp.dtype(d) == jnp.bfloat16:
+            return jnp.bfloat16
+    return None
 
 
 def _basis_init(key, fan_in: int, fan_out: int) -> jax.Array:

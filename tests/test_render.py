@@ -250,3 +250,37 @@ def test_grid_dtype_bf16_renders_close_to_fp32(rng):
     )
     err = float(jnp.abs(a.rgb - b.rgb).max())
     assert err < 0.03, err  # bf16 factor quantization, not divergence
+
+
+@pytest.mark.parametrize("model_name", ["TensorVMSplit", "TensorCP"])
+def test_line_dtype_bf16_renders_close_to_fp32(rng, model_name):
+    """line_dtype=bfloat16 quantizes ONLY the one-hot-lerp line matrices
+    (plane tables stay fp32) — interpolation weights lose ~2^-9 relative
+    precision, so the render must stay within quantization distance."""
+    from tensorf_tpu.models import FIELD_MODELS, ModelConfig
+    from tensorf_tpu.ops.freq_mask import FreeMasks
+    from tensorf_tpu.render import render_rays
+
+    base = ModelConfig(
+        model_name=model_name, density_n_comp=(4, 4, 4),
+        app_n_comp=(6, 6, 6), app_dim=9, shading_mode="MLP_Fea",
+        pos_pe=2, view_pe=2, fea_pe=2, feature_c=32, density_shift=-3.0,
+    )
+    model = FIELD_MODELS[base.model_name]
+    params = model.init(jax.random.PRNGKey(1), base, (10, 12, 14))
+    o = rng.normal(size=(32, 3))
+    o = 4.0 * o / np.linalg.norm(o, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.concatenate(
+        [o, -o / np.linalg.norm(o, axis=-1, keepdims=True)], -1
+    ).astype(np.float32))
+    kw = dict(
+        aabb=jnp.asarray([[-1.5] * 3, [1.5] * 3]), step_size=0.06,
+        n_samples=64, is_train=False, white_bg=True, ndc_ray=False,
+    )
+    a = render_rays(model, base, params, None, rays, None, FreeMasks(), **kw)
+    b = render_rays(
+        model, base.replace(line_dtype="bfloat16"), params, None, rays,
+        None, FreeMasks(), **kw
+    )
+    err = float(jnp.abs(a.rgb - b.rgb).max())
+    assert err < 0.02, err  # only lerp weights quantized; tighter than grid bf16
