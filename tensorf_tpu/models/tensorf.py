@@ -580,7 +580,9 @@ class TensorVM(FieldModel):
                 make_footprint_2d(plane), H, W, xyz[..., (m0, m1)]
             )
             line = params["line"][i]
-            lv = _sample_line_packed(line, xyz[..., VEC_MODE[i]])
+            lv = _sample_line_packed(
+                line, xyz[..., VEC_MODE[i]], _line_a_dtype(cfg)
+            )
             den_feat = den_feat + jnp.sum(
                 pv[..., -rd:] * lv[..., -rd:], axis=-1
             )
@@ -601,7 +603,8 @@ class TensorVM(FieldModel):
                 make_footprint_2d(plane), H, W, xyz[..., (m0, m1)]
             )
             l = _sample_line_packed(
-                params["line"][i][:, -rd:], xyz[..., VEC_MODE[i]]
+                params["line"][i][:, -rd:], xyz[..., VEC_MODE[i]],
+                _line_a_dtype(cfg),
             )
             feat = feat + jnp.sum(p * l, axis=-1)
         return feat
@@ -618,7 +621,8 @@ class TensorVM(FieldModel):
                 make_footprint_2d(plane), H, W, xyz[..., (m0, m1)]
             )
             l = _sample_line_packed(
-                params["line"][i][:, :ra], xyz[..., VEC_MODE[i]]
+                params["line"][i][:, :ra], xyz[..., VEC_MODE[i]],
+                _line_a_dtype(cfg),
             )
             coefs.append(p * l)
         return jnp.concatenate(coefs, axis=-1) @ params["basis"]

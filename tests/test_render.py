@@ -252,7 +252,9 @@ def test_grid_dtype_bf16_renders_close_to_fp32(rng):
     assert err < 0.03, err  # bf16 factor quantization, not divergence
 
 
-@pytest.mark.parametrize("model_name", ["TensorVMSplit", "TensorCP"])
+@pytest.mark.parametrize(
+    "model_name", ["TensorVMSplit", "TensorCP", "TensorVM"]
+)
 def test_line_dtype_bf16_renders_close_to_fp32(rng, model_name):
     """line_dtype=bfloat16 quantizes ONLY the one-hot-lerp line matrices
     (plane tables stay fp32) — interpolation weights lose ~2^-9 relative
