@@ -30,6 +30,112 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
 
+_ELEM_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "i32": 4, "ui32": 4,
+               "i8": 1, "ui8": 1, "i1": 1, "f64": 8, "i64": 8}
+
+
+def _shapes(sig):
+    """'(tensor<AxBxf32>, ...) -> tensor<...>' -> ([(dims, dtype)], ...)."""
+    import re
+
+    def parse(seg):
+        out = []
+        for m in re.finditer(r"tensor<([0-9x]*)x?([a-z]+[0-9]+|i1)>", seg):
+            dims = [int(d) for d in m.group(1).split("x") if d]
+            out.append((dims, m.group(2)))
+        return out
+
+    lhs, _, rhs = sig.partition("->")
+    return parse(lhs), parse(rhs)
+
+
+def _row_cost_ns(roof, width_bytes, kind):
+    """Per-row ns from the measured ceilings, nearest width class."""
+    classes = [64, 256, 768, 1024]
+    w = min(classes, key=lambda c: abs(c - min(width_bytes, 1024)))
+    key = f"{kind}_rows_per_sec_{w}B" if w != 1024 else \
+        f"{kind}_rows_per_sec_1024B"
+    return 1e9 / float(roof[key])
+
+
+def _attrib_report(variants, params, rays, args):
+    """Price every gather/scatter/dot in the lowered StableHLO against the
+    measured roofline so the phase-vs-floor gap is attributable to named
+    ops (round-5 follow-up: phase A ran at 45% of floor with no trace
+    viewer available through the tunnel)."""
+    import re
+
+    import jax
+
+    roof_path = os.path.join(ROOT, "BENCH_DETAIL.json")
+    with open(roof_path) as f:
+        roof = json.load(f)
+
+    for vname in ("fwd", "fwd_bwd"):
+        txt = variants[vname].lower(params, rays).as_text()
+        items = []
+        bulk_bytes = 0
+        for ln in txt.splitlines():
+            sig = ln.rsplit(" : ", 1)
+            if len(sig) != 2:
+                continue
+            op_m = re.search(r'"?stablehlo\.(\w+)"?', ln)
+            if not op_m:
+                continue
+            op = op_m.group(1)
+            ins, outs = _shapes(sig[1])
+            if op == "gather" and ins and outs:
+                dims, dt = outs[0]
+                width = (dims[-1] if dims else 1) * _ELEM_BYTES.get(dt, 4)
+                rows = 1
+                for d in dims[:-1]:
+                    rows *= d
+                ms = rows * _row_cost_ns(roof, width, "gather") * 1e-6
+                items.append((ms, f"gather {rows}r x {width}B "
+                                  f"tbl={ins[0][0]}"))
+            elif op == "scatter" and len(ins) >= 3:
+                dims, dt = ins[2]
+                width = (dims[-1] if dims else 1) * _ELEM_BYTES.get(dt, 4)
+                rows = 1
+                for d in dims[:-1]:
+                    rows *= d
+                ms = rows * _row_cost_ns(roof, width, "scatter") * 1e-6
+                items.append((ms, f"scatter {rows}r x {width}B "
+                                  f"tbl={ins[0][0]}"))
+            elif op == "dot_general" and len(ins) >= 2 and outs:
+                (da, dta), (db, _) = ins[0], ins[1]
+                dr, dtr = outs[0]
+                numel = lambda d: int(np.prod(d)) if d else 1
+                k = da[-1] if da else 1
+                flops = 2.0 * numel(dr) * k
+                bw = (numel(da) * _ELEM_BYTES.get(dta, 4)
+                      + numel(db) * 4 + numel(dr) * _ELEM_BYTES.get(dtr, 4))
+                peak = 45e12 if dta == "f32" else 180e12
+                ms = max(flops / peak, bw / 81e9) * 1e3
+                items.append((ms, f"dot {da}x{db}->{dr} {dta} "
+                                  f"{flops/1e9:.1f}GF"))
+            elif op in ("concatenate", "pad", "transpose", "sort"):
+                n = sum(
+                    int(np.prod(d)) * _ELEM_BYTES.get(dt, 4)
+                    for d, dt in ins
+                )
+                if n > 4 << 20:
+                    bulk_bytes += 2 * n  # read + write
+                    items.append((2 * n / 81e9 * 1e3,
+                                  f"{op} {n/1e6:.0f}MB"))
+        items.sort(reverse=True)
+        total = sum(m for m, _ in items)
+        print(f"== {vname}: {len(items)} priced ops, "
+              f"roofline-estimated {total:.1f} ms ==")
+        for ms, desc in items[:30]:
+            print(f"  {ms:7.2f} ms  {desc}")
+        agg = {}
+        for ms, desc in items:
+            agg[desc.split()[0]] = agg.get(desc.split()[0], 0.0) + ms
+        print("  by-class: " + "  ".join(
+            f"{k}={v:.1f}ms" for k, v in sorted(agg.items())))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", default="C", choices=["A", "C"])
@@ -47,6 +153,11 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--grid", type=int, default=0,
                     help="override the phase grid (CPU smoke tests)")
+    ap.add_argument("--attrib", action="store_true",
+                    help="no timing: lower fwd/fwd_bwd to StableHLO and "
+                         "price every gather/scatter/dot against the "
+                         "measured roofline (BENCH_DETAIL.json) — names "
+                         "where the floor gap lives without a TPU")
     args = ap.parse_args()
 
     import importlib.util
@@ -285,6 +396,10 @@ def main():
         "fwd_sample_only": (_SampleOnly, True, False),
         "fwd_bwd_sample_only": (_SampleOnly, True, True),
     }
+    if args.attrib:
+        _attrib_report(variants, params, rays, args)
+        return
+
     out = {"phase": args.phase, "model": args.model,
            "line_dtype": args.line_dtype,
            "strata": strata, "n_samples": n_samples}

@@ -26,6 +26,25 @@ import jax
 import jax.numpy as jnp
 
 
+def _tap_lerp(w: jax.Array, taps: jax.Array) -> jax.Array:
+    """Contract (M, T) tap weights with (M, T, C) gathered taps -> (M, C).
+
+    Deliberately an unrolled elementwise sum, NOT an einsum: a batched
+    ``dot_general`` here puts a degenerate K=T contraction on the MXU, and
+    its backward materializes (M, C, T) outer products plus a full
+    transpose back to the (M, T, C) tap layout — ~2x the tap bytes in pure
+    layout traffic (measured ~60 ms/step in the phase-A train step, HLO
+    attribution in scripts/ablate_step.py --attrib).  The unrolled form
+    fuses into the gather consumer forward and into the scatter update
+    backward; the left-to-right add chain matches dot_general's sequential
+    accumulation, so results are bit-identical.
+    """
+    out = w[:, 0, None] * taps[:, 0]
+    for t in range(1, taps.shape[1]):
+        out = out + w[:, t, None] * taps[:, t]
+    return out
+
+
 def _tap_1d(coord: jax.Array, size: int):
     """align_corners=True unnormalization + floor taps for one axis.
 
@@ -78,7 +97,7 @@ def grid_sample_2d(plane: jax.Array, coords: jax.Array) -> jax.Array:
         axis=-1,
     )
     taps = jnp.take(plane.reshape(H * W, C), idx, axis=0)  # (M, 4, C)
-    out = jnp.einsum("mt,mtc->mc", w, taps)
+    out = _tap_lerp(w, taps)
     return out.reshape(*shape, C)
 
 
@@ -104,7 +123,7 @@ def grid_sample_1d(line: jax.Array, coord: jax.Array) -> jax.Array:
     idx = jnp.stack([i0, i1], axis=-1)  # (M, 2)
     w = jnp.stack([(1 - w1) * b0, w1 * b1], axis=-1)
     taps = jnp.take(line, idx, axis=0)  # (M, 2, C)
-    out = jnp.einsum("mt,mtc->mc", w, taps)
+    out = _tap_lerp(w, taps)
     return out.reshape(*shape, C)
 
 
@@ -175,7 +194,7 @@ def footprint_sample_2d(
         [(1 - wy) * (1 - wx), (1 - wy) * wx, wy * (1 - wx), wy * wx],
         axis=-1,
     )
-    out = jnp.einsum("mt,mtc->mc", w, taps)
+    out = _tap_lerp(w, taps)
     return out.reshape(*shape, C)
 
 
@@ -195,7 +214,7 @@ def footprint_sample_1d(
     w1 = pos - i0f
     taps = jnp.take(fp, i0f.astype(jnp.int32), axis=0).reshape(-1, 2, C)
     w = jnp.stack([1 - w1, w1], axis=-1)
-    out = jnp.einsum("mt,mtc->mc", w, taps)
+    out = _tap_lerp(w, taps)
     return out.reshape(*shape, C)
 
 
