@@ -75,7 +75,24 @@ def _attrib_report(variants, params, rays, args):
         txt = variants[vname].lower(params, rays).as_text()
         items = []
         bulk_bytes = 0
+        # ops with regions (scatter, sort, reduce) put their type signature
+        # lines after the region body — stitch region ops back onto one
+        # logical line so the signature parse below sees them
+        lines = []
+        pending = None
         for ln in txt.splitlines():
+            if pending is not None:
+                pending += " " + ln.strip()
+                if re.search(r"\}\) : \(", ln) or " : (" in ln:
+                    lines.append(pending)
+                    pending = None
+                continue
+            if re.search(r'"stablehlo\.(scatter|sort)"', ln) \
+                    and " : (" not in ln:
+                pending = ln.strip()
+                continue
+            lines.append(ln)
+        for ln in lines:
             sig = ln.rsplit(" : ", 1)
             if len(sig) != 2:
                 continue
@@ -83,6 +100,7 @@ def _attrib_report(variants, params, rays, args):
             if not op_m:
                 continue
             op = op_m.group(1)
+            batched = "batching_dims" in ln
             ins, outs = _shapes(sig[1])
             if op == "gather" and ins and outs:
                 dims, dt = outs[0]
@@ -100,8 +118,10 @@ def _attrib_report(variants, params, rays, args):
                 for d in dims[:-1]:
                     rows *= d
                 ms = rows * _row_cost_ns(roof, width, "scatter") * 1e-6
-                items.append((ms, f"scatter {rows}r x {width}B "
-                                  f"tbl={ins[0][0]}"))
+                if batched:
+                    ms *= 4  # measured batched-RMW penalty (bench_ops)
+                items.append((ms, f"scatter{'(batched)' if batched else ''}"
+                                  f" {rows}r x {width}B tbl={ins[0][0]}"))
             elif op == "dot_general" and len(ins) >= 2 and outs:
                 (da, dta), (db, _) = ins[0], ins[1]
                 dr, dtr = outs[0]
