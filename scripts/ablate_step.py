@@ -173,6 +173,10 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--grid", type=int, default=0,
                     help="override the phase grid (CPU smoke tests)")
+    ap.add_argument("--topk", type=int, default=-1,
+                    help="override shade_top_k (-1 = phase default: 32 "
+                         "masked / None pre-mask) — measures the phase-A "
+                         "top-K appearance split candidate")
     ap.add_argument("--attrib", action="store_true",
                     help="no timing: lower fwd/fwd_bwd to StableHLO and "
                          "price every gather/scatter/dot against the "
@@ -309,6 +313,8 @@ def main():
         return jnp.concatenate(outs)
 
     topk = 32 if mask_on else None
+    if args.topk >= 0:
+        topk = args.topk or None
 
     # ---- isolation stubs (round 5): decompose the floor gap ------------
     # mlp_off: shading head replaced by a 3-channel slice — keeps the
@@ -416,12 +422,27 @@ def main():
         "fwd_sample_only": (_SampleOnly, True, False),
         "fwd_bwd_sample_only": (_SampleOnly, True, True),
     }
+    # line-sampling isolation (round 5, phase-A gap hunt): force the
+    # footprint-gather path for line factors instead of the one-hot
+    # matmul — if the matmul's one-hot operand is being materialized
+    # (580 MB/axis at phase-A row counts) this arm shows the delta.
+    import tensorf_tpu.models.tensorf as tensorf_mod
+
+    def _lines_gather_variant(bwd):
+        def run(p, r):
+            return jnp.sum(render_with(model, cfg, p, r, shade_top_k=topk))
+        return jax.jit(jax.grad(run) if bwd else run)
+
+    lines_arms = {
+        "fwd_lines_gather": False,
+        "fwd_bwd_lines_gather": True,
+    }
     if args.attrib:
         _attrib_report(variants, params, rays, args)
         return
 
     out = {"phase": args.phase, "model": args.model,
-           "line_dtype": args.line_dtype,
+           "line_dtype": args.line_dtype, "shade_top_k": topk,
            "strata": strata, "n_samples": n_samples}
     for name, fn in variants.items():
         try:
@@ -445,6 +466,18 @@ def main():
             print(f"{name:18s} FAILED {type(e).__name__}: {e}", flush=True)
         finally:
             volume_mod.apply_shading = real_apply_shading
+    real_maxlen = tensorf_mod._LINE_MATMUL_MAX_LEN
+    for name, bwd in lines_arms.items():
+        fn = _lines_gather_variant(bwd)
+        try:
+            tensorf_mod._LINE_MATMUL_MAX_LEN = 0
+            t = timed(fn, params, rays)
+            out[name + "_ms"] = round(t * 1e3, 1)
+            print(f"{name:18s} {t*1e3:8.1f} ms", flush=True)
+        except Exception as e:
+            print(f"{name:18s} FAILED {type(e).__name__}: {e}", flush=True)
+        finally:
+            tensorf_mod._LINE_MATMUL_MAX_LEN = real_maxlen
     print(json.dumps(out))
 
 

@@ -12,6 +12,46 @@ SEED=${1:-20211202}
 cd "$(dirname "$0")/.."
 log() { echo "$(date -u +%H:%M:%S) $*" | tee -a /tmp/ab_tpu_r05.log; }
 
+# phase-A top-K appearance split candidate (round-5 gap hunt: the app
+# half of the pre-mask step is ~86 ms of full-lattice appearance traffic;
+# the reference itself thresholds appearance by weight from iter 0)
+for k in 64 32; do
+  log "ablate_A topk=$k start"
+  timeout 2400 python scripts/ablate_step.py --phase A --topk $k \
+    > /tmp/ablate_A_topk${k}.log 2>&1
+  log "ablate_A topk=$k rc=$?"
+done
+python - <<'EOF'
+import json, os
+path = "ABLATE_STEP_r05.json"
+d = json.load(open(path)) if os.path.exists(path) else {"arms": []}
+seen = {(a.get("tag"), a.get("fwd_bwd_ms")) for a in d["arms"]}
+for k in (64, 32):
+    try:
+        for ln in open(f"/tmp/ablate_A_topk{k}.log"):
+            if ln.strip().startswith("{"):
+                a = json.loads(ln); a["tag"] = f"A_vm_topk{k}"
+                if (a["tag"], a.get("fwd_bwd_ms")) not in seen:
+                    d["arms"].append(a)
+    except OSError:
+        pass
+json.dump(d, open(path, "w"), indent=1)
+EOF
+git add ABLATE_STEP_r05.json 2>/dev/null
+git commit -q -m "Phase-A top-K split ablation arms (TPU)" 2>/dev/null
+
+# serving attribution first (minutes, not hours): one traced frame names
+# where the 9.4 s/frame goes (count pass vs per-bucket render) — the r5
+# RENDER measurement landed at 0.107 fps with no per-bucket breakdown.
+log "serving breakdown start"
+TENSORF_RENDER_TRACE=1 timeout 2400 python scripts/bench_render.py \
+  --frames 1 > /tmp/serving_breakdown_r05.log 2>&1
+log "serving breakdown rc=$? -> /tmp/serving_breakdown_r05.log"
+grep render-trace /tmp/serving_breakdown_r05.log \
+  > SERVING_TRACE_r05.txt 2>/dev/null
+git add SERVING_TRACE_r05.txt RENDER_r05.json 2>/dev/null
+git commit -q -m "Serving per-bucket trace (TPU)" 2>/dev/null
+
 for arm in strat unstrat; do
   log "arm=$arm seed=$SEED start"
   timeout 21600 python train.py --config "configs/synth_ab_${arm}.txt" \

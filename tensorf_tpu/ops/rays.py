@@ -245,6 +245,47 @@ def aabb_intersect(rays_o, rays_d, aabb) -> jax.Array:
     return t_max > t_min
 
 
+def sample_lattice(
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    aabb: jax.Array,
+    near: float,
+    far: float,
+    key: Optional[jax.Array],
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Per-ray sample-lattice parameters (t_min (B,), jitter u (B, 1)|None).
+
+    The non-NDC lattice is affine in the sample index — z(i) = t_min +
+    (i + u) * step — so any subset of it can be re-materialized from
+    indices alone (see lattice_z).  Deterministic in `key`: callers may
+    re-derive the identical lattice instead of carrying (B, N) arrays
+    through compaction.
+    """
+    t_min, _ = aabb_entry_exit(rays_o, rays_d, aabb)
+    t_min = jnp.clip(t_min, near, far)
+    u = None
+    if key is not None:
+        u = jax.random.uniform(
+            key, (rays_o.shape[0], 1), dtype=rays_o.dtype
+        )
+    return t_min, u
+
+
+def lattice_z(
+    t_min: jax.Array,
+    u: Optional[jax.Array],
+    idx: jax.Array,
+    step_size: float,
+) -> jax.Array:
+    """Sample depths at (float) lattice indices idx (B, K) -> z (B, K).
+
+    Bit-identical to sample_along_rays' z_vals at the same integer
+    indices: the expression t_min + (idx + u) * step matches op-for-op
+    (int indices < 2^24 are exact in f32)."""
+    rng = idx if u is None else idx + u
+    return t_min[:, None] + rng * step_size
+
+
 def sample_along_rays(
     rays_o: jax.Array,
     rays_d: jax.Array,
@@ -265,13 +306,11 @@ def sample_along_rays(
     Returns (xyz (B, N, 3), z_vals (B, N), ray_valid (B, N) bool).
     """
     B = rays_o.shape[0]
-    t_min, _ = aabb_entry_exit(rays_o, rays_d, aabb)
-    t_min = jnp.clip(t_min, near, far)
-
-    rng = jnp.arange(n_samples, dtype=rays_o.dtype)[None, :]  # (1, N)
-    if key is not None:
-        rng = rng + jax.random.uniform(key, (B, 1), dtype=rays_o.dtype)
-    z_vals = t_min[:, None] + rng * step_size  # (B, N)
+    t_min, u = sample_lattice(rays_o, rays_d, aabb, near, far, key)
+    idx = jnp.broadcast_to(
+        jnp.arange(n_samples, dtype=rays_o.dtype)[None, :], (1, n_samples)
+    )
+    z_vals = lattice_z(t_min, u, idx, step_size)  # (B, N)
 
     xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     outside = jnp.any((xyz < aabb[0]) | (xyz > aabb[1]), axis=-1)

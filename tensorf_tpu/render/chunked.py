@@ -8,12 +8,20 @@ padded), so full-image rendering runs at device speed with one compile.
 
 from __future__ import annotations
 
+import os
+import sys
+import time
 from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# TENSORF_RENDER_TRACE=1: print per-bucket serving timings to stderr
+# (tier, bucket size, chunk, lattice, ms) — the tunnel has no trace
+# viewer, so this is how serving frames get attributed on the TPU.
+_TRACE = bool(os.environ.get("TENSORF_RENDER_TRACE"))
 
 from ..ops.freq_mask import FreeMasks
 from .volume import render_rays
@@ -375,6 +383,7 @@ def render_chunked_stratified(
     M = rays.shape[0]
     near_far = tuple(float(v) for v in cfg.near_far)
     chords = None
+    t_count0 = time.perf_counter() if _TRACE else 0.0
     if use_coarse_gate and alive_stage:
         counts, alive_counts, _ = count_ray_candidates_and_alive(
             rays,
@@ -408,6 +417,12 @@ def render_chunked_stratified(
             use_coarse=use_coarse_gate,
         )
         alive_counts = None
+    if _TRACE:
+        print(
+            f"[render-trace] count_pass {M} rays "
+            f"{(time.perf_counter() - t_count0) * 1e3:.1f} ms",
+            file=sys.stderr, flush=True,
+        )
     order = np.argsort(counts, kind="stable")
     sorted_counts = counts[order]
 
@@ -493,6 +508,7 @@ def render_chunked_stratified(
         # 16 GB HBM (observed: 32k x 1075 x 64ch fusion buffer = 18 GB)
         if tier_b is None and n_eff > 512:
             chunk_b = min(chunk_b, 8192)
+        t_b = time.perf_counter() if _TRACE else 0.0
         rgb_b, depth_b, nv, of = render_chunked(
             fn,
             params,
@@ -503,6 +519,13 @@ def render_chunked_stratified(
             masks=masks,
             mesh=mesh,
         )
+        if _TRACE:
+            print(
+                f"[render-trace] tier={tier} alive={alive_tier} "
+                f"n={end - start} chunk={chunk_b} lattice={n_eff} "
+                f"{(time.perf_counter() - t_b) * 1e3:.1f} ms",
+                file=sys.stderr, flush=True,
+            )
         rgb_sorted[start:end] = rgb_b
         depth_sorted[start:end] = depth_b
         total_valid += nv

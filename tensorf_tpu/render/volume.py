@@ -33,8 +33,21 @@ from ..models.alpha_mask import (
 from ..models.config import ModelConfig
 from ..models.shading import apply_shading
 from ..ops.freq_mask import FreeMasks
-from ..ops.rays import sample_along_rays, sample_along_rays_ndc
+from ..ops.rays import (
+    lattice_z,
+    sample_along_rays,
+    sample_along_rays_ndc,
+    sample_lattice,
+)
 from ..ops.render_math import raw2alpha
+
+
+# Re-derive z/xyz/dists from selected lattice indices instead of packing
+# and gathering them through compaction (bit-identical on the affine
+# non-NDC lattice; ~100 MB/step less pack/gather traffic at phase-C
+# shapes).  Module-level so the equivalence test can pin derived ==
+# gathered on the same inputs.
+_DERIVED_COMPACTION = True
 
 
 def normalize_coord(xyz: jax.Array, aabb: jax.Array) -> jax.Array:
@@ -230,6 +243,41 @@ def render_rays(
             padded_count,
         )
 
+    def _select_windows(keep, K, n_from):
+        """Window-granular top-k selection WITHOUT the row gather.
+
+        Same window grouping/scoring as _compact_grouped, but returns only
+        (sel (B, K) int32 lattice indices, win_alive (B, K) bool,
+        padded_count) — on the affine non-NDC lattice the caller
+        re-derives z/xyz/dists from `sel` bit-exactly (ops/rays.py::
+        lattice_z), so the (B, N, 6) pack + (B*K) row gather of
+        _compact_grouped (~100 MB/step of pure pack/gather traffic at
+        phase-C shapes) disappears; only the top-k remains.
+
+        win_alive rides along the window sort packed into the low bit of
+        the sort key (windows are < 2^15, so gsel*2+alive sorts in gsel
+        order), avoiding a post-sort re-gather of the top-k values.
+        """
+        S = COARSE_STRIDE
+        G = -(-n_from // S)
+        tail = G * S - n_from
+        keep_p = jnp.pad(keep, ((0, 0), (0, tail)))
+        gkeep = keep_p.reshape(B, G, S).any(axis=-1)
+        padded_count = S * jnp.sum(gkeep.astype(jnp.int32), axis=-1)
+        order = jnp.arange(G, dtype=jnp.int32)
+        score = gkeep.astype(jnp.int32) * (2 * G - order)
+        vals, gsel = jax.lax.top_k(score, K // S)  # keep-and-near first
+        code = jnp.sort(gsel * 2 + (vals > 0), axis=-1)  # depth order
+        gsel = code >> 1
+        galive = (code & 1) > 0
+        sel = (
+            gsel[..., None] * S + jnp.arange(S, dtype=jnp.int32)
+        ).reshape(B, K)
+        win_alive = jnp.broadcast_to(
+            galive[..., None], (B, K // S, S)
+        ).reshape(B, K)
+        return sel, win_alive, padded_count
+
     n_eff = n_samples
     overflow_frac = jnp.float32(0.0)
     use_budget = sample_budget is not None and sample_budget < n_samples
@@ -262,7 +310,38 @@ def render_rays(
             # selection runs at stride-window granularity when K allows
             # (the coarse gate is window-constant, see _compact_grouped).
             cand = ray_valid & sample_alpha_gate_coarse(alpha_mask, xyz)
-            if K % COARSE_STRIDE == 0:
+            if K % COARSE_STRIDE == 0 and not ndc_ray \
+                    and _DERIVED_COMPACTION:
+                # Derived compaction: select windows, then re-materialize
+                # z/xyz/dists/valid at the selected indices from the affine
+                # lattice — bit-identical to gathering them (identical
+                # expressions, same jitter key; dists reproduce the full-
+                # lattice z-diff, zero at the lattice end), with no
+                # (B, N, 6) pack and no row gather.
+                sel, win_alive, pc = _select_windows(cand, K, n_samples)
+                t_min, u = sample_lattice(
+                    rays_o, viewdirs, aabb, near, far, k_strat
+                )
+                idxf = sel.astype(xyz.dtype)
+                z_vals = lattice_z(t_min, u, idxf, step_size)
+                z_next = lattice_z(t_min, u, idxf + 1.0, step_size)
+                dists = jnp.where(
+                    sel < n_samples - 1, z_next - z_vals,
+                    jnp.zeros_like(z_vals),
+                )
+                xyz = rays_o[:, None, :] + viewdirs[:, None, :] * (
+                    z_vals[..., None]
+                )
+                inb = ~jnp.any(
+                    (xyz < aabb[0]) | (xyz > aabb[1]), axis=-1
+                )
+                # sel < n_samples: the straddling last window's tail
+                # indices lie beyond the lattice — the gather path's
+                # padding rows carried keep=0 for those, so mask them
+                # here too (they can be in-bbox on short chords).
+                kept = win_alive & inb & (sel < n_samples)
+                over1 = pc > K
+            elif K % COARSE_STRIDE == 0:
                 xyz, z_vals, dists, kept, pc = _compact_grouped(
                     xyz, z_vals, dists, cand, K, n_samples
                 )

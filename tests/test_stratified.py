@@ -690,3 +690,44 @@ def test_noise_matched_step_unbiased_and_varying(setup, rng):
     assert np.std(vals) > 0  # composition noise present
     # per-stratum render is key-jittered too, so compare means loosely
     assert abs(np.mean(vals) - ref) < 0.15 * abs(ref) + 1e-4
+
+
+def test_derived_compaction_equals_gathered(setup, rng):
+    """Round-5: the derived grouped compaction (re-materialize z/xyz/dists
+    from selected lattice indices, volume.py::_select_windows) must equal
+    the gather-based _compact_grouped bit-for-bit — train mode (jittered
+    lattice) and eval mode, all RenderOutput fields."""
+    import tensorf_tpu.render.volume as volume_mod
+
+    model, params, mask = setup
+    rays = jnp.asarray(_rays(rng, 64))
+    kw = dict(
+        aabb=AABB, step_size=STEP, n_samples=NS,
+        white_bg=True, ndc_ray=False,
+        sample_budget=64, budget_mode="cand",
+    )
+    for is_train, key in [(False, None), (True, jax.random.PRNGKey(3))]:
+        outs = []
+        for flag in (True, False):
+            old = volume_mod._DERIVED_COMPACTION
+            volume_mod._DERIVED_COMPACTION = flag
+            try:
+                outs.append(render_rays(
+                    model, CFG, params, mask, rays, key, FreeMasks(),
+                    is_train=is_train, **kw
+                ))
+            finally:
+                volume_mod._DERIVED_COMPACTION = old
+        a, b = outs
+        for name in RenderOutputFields:
+            va, vb = getattr(a, name), getattr(b, name)
+            np.testing.assert_array_equal(
+                np.asarray(va), np.asarray(vb),
+                err_msg=f"{name} differs (is_train={is_train})",
+            )
+
+
+RenderOutputFields = (
+    "rgb", "depth", "acc", "weights", "sigma", "z_vals",
+    "num_valid_samples", "budget_overflow_frac", "mean_alive_samples",
+)
