@@ -128,6 +128,14 @@ class TrainConfig:
     fused_gathers: bool = True  # packed footprint gathers (fast path)
     sample_budget: int = 0  # 0 = all samples; >0 = per-ray alive-sample cap
     shade_top_k: int = 0  # 0 = shade all samples; >0 = top-K compaction
+    # Pre-mask (prefilter-era) top-K appearance compaction.  0 keeps the
+    # round-2 behavior (shade every in-bbox sample until the first alpha
+    # mask); >0 applies the top-K split from iter 0 — the reference itself
+    # thresholds appearance by weight from the first step
+    # (tensorBase.py:367-371 app_mask = weight > rayMarch_weight_thres),
+    # so a generous pre-mask K is the static analog, and the pre-mask
+    # app half is ~86 ms of the 167 ms phase-A step (ABLATE_STEP_r05).
+    prefilter_shade_top_k: int = 0
     compute_dtype: str = "float32"  # shading MLP compute dtype
     grid_dtype: str = "float32"  # factor-grid gather/scatter compute dtype
     # one-hot-lerp matrix dtype for line matmul sampling (bf16 halves the

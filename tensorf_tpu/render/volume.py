@@ -278,6 +278,32 @@ def render_rays(
         ).reshape(B, K)
         return sel, win_alive, padded_count
 
+    def _compact_derived(cand, K):
+        """Window selection + bit-exact re-materialization (see
+        _select_windows): returns (xyz, z_vals, dists, kept, padded_count)
+        at the K selected lattice indices with zero pack/gather traffic.
+        Only valid on the affine non-NDC lattice."""
+        sel, win_alive, pc = _select_windows(cand, K, n_samples)
+        t_min, u = sample_lattice(
+            rays_o, viewdirs, aabb, near, far, k_strat
+        )
+        idxf = sel.astype(rays_o.dtype)
+        z_sel = lattice_z(t_min, u, idxf, step_size)
+        z_next = lattice_z(t_min, u, idxf + 1.0, step_size)
+        d_sel = jnp.where(
+            sel < n_samples - 1, z_next - z_sel, jnp.zeros_like(z_sel)
+        )
+        xyz_sel = rays_o[:, None, :] + viewdirs[:, None, :] * (
+            z_sel[..., None]
+        )
+        inb = ~jnp.any((xyz_sel < aabb[0]) | (xyz_sel > aabb[1]), axis=-1)
+        # sel < n_samples: the straddling last window's tail indices lie
+        # beyond the lattice — the gather path's padding rows carried
+        # keep=0 for those, so mask them here too (they can be in-bbox
+        # on short chords).
+        kept = win_alive & inb & (sel < n_samples)
+        return xyz_sel, z_sel, d_sel, kept, pc
+
     n_eff = n_samples
     overflow_frac = jnp.float32(0.0)
     use_budget = sample_budget is not None and sample_budget < n_samples
@@ -318,28 +344,7 @@ def render_rays(
                 # expressions, same jitter key; dists reproduce the full-
                 # lattice z-diff, zero at the lattice end), with no
                 # (B, N, 6) pack and no row gather.
-                sel, win_alive, pc = _select_windows(cand, K, n_samples)
-                t_min, u = sample_lattice(
-                    rays_o, viewdirs, aabb, near, far, k_strat
-                )
-                idxf = sel.astype(xyz.dtype)
-                z_vals = lattice_z(t_min, u, idxf, step_size)
-                z_next = lattice_z(t_min, u, idxf + 1.0, step_size)
-                dists = jnp.where(
-                    sel < n_samples - 1, z_next - z_vals,
-                    jnp.zeros_like(z_vals),
-                )
-                xyz = rays_o[:, None, :] + viewdirs[:, None, :] * (
-                    z_vals[..., None]
-                )
-                inb = ~jnp.any(
-                    (xyz < aabb[0]) | (xyz > aabb[1]), axis=-1
-                )
-                # sel < n_samples: the straddling last window's tail
-                # indices lie beyond the lattice — the gather path's
-                # padding rows carried keep=0 for those, so mask them
-                # here too (they can be in-bbox on short chords).
-                kept = win_alive & inb & (sel < n_samples)
+                xyz, z_vals, dists, kept, pc = _compact_derived(cand, K)
                 over1 = pc > K
             elif K % COARSE_STRIDE == 0:
                 xyz, z_vals, dists, kept, pc = _compact_grouped(
@@ -402,7 +407,13 @@ def render_rays(
             # mask-free (prefilter) budget: candidates are the contiguous
             # in-bbox run, so window selection applies here too
             cand = ray_valid
-            if K % COARSE_STRIDE == 0 and not ndc_ray:
+            if K % COARSE_STRIDE == 0 and not ndc_ray \
+                    and _DERIVED_COMPACTION:
+                xyz, z_vals, dists, ray_valid, pc = _compact_derived(
+                    cand, K
+                )
+                overflow_frac = jnp.mean((pc > K).astype(jnp.float32))
+            elif K % COARSE_STRIDE == 0 and not ndc_ray:
                 xyz, z_vals, dists, ray_valid, pc = _compact_grouped(
                     xyz, z_vals, dists, cand, K, n_samples
                 )

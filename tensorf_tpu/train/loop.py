@@ -551,11 +551,19 @@ def reconstruction(cfg: TrainConfig) -> str:
             # pre-mask weights are diffuse (many samples above the shading
             # threshold), so a small K would truncate real contributions;
             # after the mask, weight mass concentrates on surfaces and K
-            # covers every above-threshold sample.
+            # covers every above-threshold sample.  prefilter_shade_top_k
+            # (>0) opts the pre-mask era into a (typically larger) K —
+            # the static analog of the reference's iter-0 weight
+            # threshold (tensorBase.py:367-371).
             shade_top_k=(
                 cfg.shade_top_k
                 if cfg.shade_top_k > 0 and state.alpha_mask is not None
-                else None
+                else (
+                    cfg.prefilter_shade_top_k
+                    if cfg.prefilter_shade_top_k > 0
+                    and state.alpha_mask is None
+                    else None
+                )
             ),
             fused=bool(cfg.fused_gathers),
             use_coarse_gate=coarse_ok(),

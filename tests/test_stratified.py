@@ -706,14 +706,18 @@ def test_derived_compaction_equals_gathered(setup, rng):
         white_bg=True, ndc_ray=False,
         sample_budget=64, budget_mode="cand",
     )
-    for is_train, key in [(False, None), (True, jax.random.PRNGKey(3))]:
+    for is_train, key, m in [
+        (False, None, mask),
+        (True, jax.random.PRNGKey(3), mask),
+        (True, jax.random.PRNGKey(5), None),  # mask-free prefilter branch
+    ]:
         outs = []
         for flag in (True, False):
             old = volume_mod._DERIVED_COMPACTION
             volume_mod._DERIVED_COMPACTION = flag
             try:
                 outs.append(render_rays(
-                    model, CFG, params, mask, rays, key, FreeMasks(),
+                    model, CFG, params, m, rays, key, FreeMasks(),
                     is_train=is_train, **kw
                 ))
             finally:
