@@ -78,6 +78,9 @@ DEFAULT_PARAMS = {
     "prefilter": {"prefilter_budget": 352},
 }
 SHADE_TOP_K = 32
+# pre-mask (phase-A) top-K appearance split — mirrors the schema
+# default prefilter_shade_top_k=64 (round 5: 166.6 -> 91.4 ms/step)
+SHADE_TOP_K_PREFILTER = 64
 COARSE_STRIDE = 4
 
 
@@ -198,7 +201,7 @@ def _make_step(model_name, grid, mask_on, batch, params_bench):
         ),
         # mask-era split path: appearance gathered only for the top-K
         # shading weights (configs/lego_vm.txt shipping configuration)
-        shade_top_k=SHADE_TOP_K if mask_on else None,
+        shade_top_k=SHADE_TOP_K if mask_on else SHADE_TOP_K_PREFILTER,
     )
     step_fn = make_train_step(model, cfg, statics, optimizer)
 
@@ -472,7 +475,8 @@ def main():
             else:
                 pstrata = [(batch, min(int(pf["prefilter_budget"]), ns))]
             floors[name] = round(
-                _floor_ms(roof, pstrata, ns, shade_top_k=None,
+                _floor_ms(roof, pstrata, ns,
+                          shade_top_k=SHADE_TOP_K_PREFILTER,
                           mask_on=False), 1
             )
     vs_roofline = {

@@ -312,7 +312,7 @@ def main():
             outs.append(out.rgb)
         return jnp.concatenate(outs)
 
-    topk = 32 if mask_on else None
+    topk = 32 if mask_on else 64  # mirrors schema shade defaults
     if args.topk >= 0:
         topk = args.topk or None
 

@@ -135,7 +135,10 @@ class TrainConfig:
     # (tensorBase.py:367-371 app_mask = weight > rayMarch_weight_thres),
     # so a generous pre-mask K is the static analog, and the pre-mask
     # app half is ~86 ms of the 167 ms phase-A step (ABLATE_STEP_r05).
-    prefilter_shade_top_k: int = 0
+    # Default 64: measured 166.6 -> 91.4 ms/step on v5e (ablate_A_topk64)
+    # at +1.07 dB on the verify drive (32.52 vs 31.45; configs pin 0 where
+    # a running A/B's earlier arms used the old default).
+    prefilter_shade_top_k: int = 64
     compute_dtype: str = "float32"  # shading MLP compute dtype
     grid_dtype: str = "float32"  # factor-grid gather/scatter compute dtype
     # one-hot-lerp matrix dtype for line matmul sampling (bf16 halves the
