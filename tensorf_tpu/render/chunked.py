@@ -23,6 +23,7 @@ import numpy as np
 # viewer, so this is how serving frames get attributed on the TPU.
 _TRACE = bool(os.environ.get("TENSORF_RENDER_TRACE"))
 
+from ..models.alpha_mask import COARSE_STRIDE
 from ..ops.freq_mask import FreeMasks
 from .volume import render_rays
 
@@ -295,6 +296,104 @@ def render_chunked(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "model",
+        "cfg",
+        "step_size",
+        "n_samples",
+        "white_bg",
+        "shade_top_k",
+        "fused",
+        "sample_budget",
+    ),
+)
+def _render_eval_windows(
+    model,
+    cfg,
+    params,
+    alpha_mask,
+    rays_store,  # (M_pad, 6) f32, DEVICE-resident for the whole frame
+    bits_store,  # (M_pad, Gb_full) uint8 packed window hits (count pass)
+    idx,  # (chunk,) int32 rows of this bucket chunk
+    aabb,
+    masks,
+    *,
+    step_size,
+    n_samples,
+    white_bg,
+    shade_top_k,
+    fused,
+    sample_budget,
+):
+    """Device-resident window-bits bucket render.
+
+    The tunnel moves host<->device bytes at ~15 MB/s with ~50-100 ms per
+    round trip (measured r5), so per-bucket programs gather their rays
+    AND their candidate-window bits from frame-resident stores by a
+    small int32 index upload — nothing else crosses the link.  The
+    render itself never touches the full sample lattice (render_rays
+    window-bits path): candidate windows come from the count pass.
+    """
+    rays = jnp.take(rays_store, idx, axis=0)
+    G = -(-n_samples // COARSE_STRIDE)
+    gb = -(-G // 8)
+    bits = jax.lax.slice_in_dim(
+        jnp.take(bits_store, idx, axis=0), 0, gb, axis=1
+    )
+    out = render_rays(
+        model,
+        cfg,
+        params,
+        alpha_mask,
+        rays,
+        None,
+        masks,
+        aabb=aabb,
+        step_size=step_size,
+        n_samples=n_samples,
+        is_train=False,
+        white_bg=white_bg,
+        ndc_ray=False,
+        shade_top_k=shade_top_k,
+        fused=fused,
+        sample_budget=sample_budget,
+        budget_mode="cand",
+        cand_window_bits=bits,
+    )
+    return out.rgb, out.depth, out.num_valid_samples, out.budget_overflow_frac
+
+
+@jax.jit
+def rays_from_pose(directions, c2w):
+    """Device-side get_rays (ops/rays.py:57-67): camera-space directions
+    (M, 3) x pose (3/4, 4) -> (M, 6) ray store.  With directions uploaded
+    once per serving session, a new view costs a 48-byte pose upload
+    instead of a 15 MB ray upload through the ~15 MB/s tunnel."""
+    rays_d = directions @ c2w[:3, :3].T
+    rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
+    return jnp.concatenate([rays_o, rays_d], axis=-1)
+
+
+# Chunk-size ladder shared by the serving drivers: the tier-independent
+# per-chunk cost scales with chunk size, so a small bucket must not pad
+# to the full chunk; few static shapes keep the compiled-program set
+# bounded.
+_CHUNK_LADDER = (2048, 4096, 8192, 16384, 32768)
+
+
+def _next_chunk(rem: int, cap: int) -> int:
+    """Smallest ladder size >= rem (<= cap) — unless that would pad by
+    >1.3x, in which case the largest ladder size <= rem (the bucket then
+    spans multiple chunks)."""
+    sizes = [c for c in _CHUNK_LADDER if c <= cap] or [cap]
+    c = next((x for x in sizes if x >= rem), sizes[-1])
+    if c > rem * 1.3 and c > sizes[0]:
+        c = max(x for x in sizes if x <= max(rem, sizes[0]))
+    return c
+
+
 # Budget ladder for stratified serving: candidate budgets are snapped UP
 # to one of these static tiers so every frame reuses the same small set of
 # compiled programs (32-multiples).  Spacing bounds within-tier padding at
@@ -377,11 +476,27 @@ def render_chunked_stratified(
         count_ray_candidates,
         count_ray_candidates_and_alive,
         count_ray_candidates_and_chord,
+        count_ray_candidates_chord_bits,
     )
 
+    near_far = tuple(float(v) for v in cfg.near_far)
+    # Device-resident window-bits serving (round 5): one-dispatch count
+    # pass emits per-window hit bits; bucket programs gather rays + bits
+    # from frame-resident stores and skip all full-lattice work.  Multi-
+    # host mesh serving and the exact-alive second stage keep the legacy
+    # host-chunked driver below.
+    use_bits = use_coarse_gate and not alive_stage and mesh is None
+    if use_bits:
+        return _render_stratified_resident(
+            model, cfg, params, alpha_mask, rays, aabb,
+            step_size=step_size, n_samples=n_samples, white_bg=white_bg,
+            shade_top_k=shade_top_k, fused=fused, chunk=chunk, masks=masks,
+            near_far=near_far, use_coarse_gate=use_coarse_gate,
+        )
+    if isinstance(rays, jax.Array):
+        rays = jax.device_get(rays)
     rays = np.asarray(rays, dtype=np.float32)
     M = rays.shape[0]
-    near_far = tuple(float(v) for v in cfg.near_far)
     chords = None
     t_count0 = time.perf_counter() if _TRACE else 0.0
     if use_coarse_gate and alive_stage:
@@ -496,7 +611,7 @@ def render_chunked_stratified(
         # the compiled-program set bounded)
         n_b = end - start
         chunk_b = chunk
-        for c in (2048, 8192):
+        for c in _CHUNK_LADDER[:-1]:
             if c >= chunk:
                 break
             if n_b <= c:
@@ -531,6 +646,155 @@ def render_chunked_stratified(
         total_valid += nv
         max_overflow = max(max_overflow, of)
         start = end
+
+    inv = np.empty_like(order)
+    inv[order] = np.arange(M)
+    return rgb_sorted[inv], depth_sorted[inv], total_valid, max_overflow
+
+
+def _render_stratified_resident(
+    model,
+    cfg,
+    params,
+    alpha_mask,
+    rays,
+    aabb,
+    *,
+    step_size: float,
+    n_samples: int,
+    white_bg: bool,
+    shade_top_k: Optional[int],
+    fused: bool,
+    chunk: int,
+    masks: FreeMasks,
+    near_far,
+    use_coarse_gate: bool,
+):
+    """Device-resident stratified serving (round-5 hot path).
+
+    Per frame, the tunnel carries: the ray store up ONCE (or nothing, if
+    ``rays`` is already a device array from rays_from_pose), int16
+    counts/chords down, one small int32 index upload per bucket chunk,
+    and rgb/depth down — ~6 MB instead of the legacy driver's ~40 MB at
+    ~15 MB/s.  Dispatches: 1 count pass (lax.map over tiles) + one per
+    bucket chunk, issued back-to-back and fetched AFTER the full loop so
+    the ~50-100 ms per-dispatch tunnel latency overlaps device compute.
+    Bucket programs consume the count pass's window bits and never touch
+    the full sample lattice (render/volume.py window-bits path).
+    """
+    from .culling import count_ray_candidates_chord_bits
+
+    is_dev = isinstance(rays, jax.Array)
+    M = int(rays.shape[0])
+    t_count0 = time.perf_counter() if _TRACE else 0.0
+    counts, chords, bits_dev, rays_dev = count_ray_candidates_chord_bits(
+        rays, alpha_mask, np.asarray(aabb), step_size, near_far,
+        n_samples=n_samples, tile=max(chunk, 32768),
+    )
+    if _TRACE:
+        print(
+            f"[render-trace] count_pass {M} rays "
+            f"{(time.perf_counter() - t_count0) * 1e3:.1f} ms",
+            file=sys.stderr, flush=True,
+        )
+    dirz = np.asarray(rays_dev[:M, 5]) if is_dev else \
+        np.asarray(rays, np.float32)[:, 5]
+    order = np.argsort(counts, kind="stable")
+    sorted_counts = counts[order]
+
+    tiers = [t for t in BUDGET_TIERS if t < n_samples]
+    rgb_sorted = np.empty((M, 3), np.float32)
+    depth_sorted = np.empty((M,), np.float32)
+    total_valid = 0
+    max_overflow = 0.0
+    # zero-candidate rays composite to pure background on host (see
+    # render_chunked_stratified)
+    start = int(np.searchsorted(sorted_counts, 0, side="right"))
+    if start > 0:
+        rgb_sorted[:start] = 1.0 if white_bg else 0.0
+        depth_sorted[:start] = dirz[order[:start]]
+    aabb_j = jnp.asarray(aabb)
+    pending = []  # (sorted-offset, n_valid, tier, K_b, n_eff, t0, future)
+    for tier in tiers + [None]:
+        if start >= M:
+            break
+        if tier is None:
+            end = M
+        else:
+            end = int(np.searchsorted(sorted_counts, tier, side="right"))
+        if end <= start:
+            continue
+        # chord-capped lattice + tier budget, as in the legacy driver
+        cmax = int(chords[order[start:end]].max())
+        n_eff = min(n_samples, max(128, -(-cmax // 128) * 128))
+        tier_b = tier if (tier is not None and tier < n_eff) else None
+        # the window-bits program needs a COARSE_STRIDE-multiple budget;
+        # with no tier undercut the lattice itself is the budget (top-G
+        # of G windows — still exact, still lattice-free)
+        K_b = tier_b if tier_b is not None else n_eff
+        if K_b % COARSE_STRIDE != 0:
+            # rare tail (n_eff == n_samples with n_samples % 4 != 0):
+            # legacy host-chunked render for just this bucket
+            idx_all = order[start:end]
+            rows = (
+                np.asarray(jnp.take(rays_dev, jnp.asarray(idx_all), axis=0))
+                if is_dev else np.asarray(rays, np.float32)[idx_all]
+            )
+            fn = make_render_fn(
+                model, cfg, step_size=step_size, n_samples=n_eff,
+                white_bg=white_bg, ndc_ray=False, shade_top_k=shade_top_k,
+                fused=fused, sample_budget=tier_b, budget_mode="cand",
+                use_coarse_gate=use_coarse_gate,
+            )
+            cb = chunk if (tier_b is not None or n_eff <= 512) \
+                else min(chunk, 8192)
+            rgb_b, depth_b, nv, of = render_chunked(
+                fn, params, alpha_mask, rows, aabb, chunk=cb, masks=masks,
+            )
+            rgb_sorted[start:end] = rgb_b
+            depth_sorted[start:end] = depth_b
+            total_valid += nv
+            max_overflow = max(max_overflow, of)
+            start = end
+            continue
+        # memory guard: (chunk x K_b) feature intermediates — deep
+        # budgets cap the chunk (observed r3: 32k x 1075-row buffers OOM)
+        cap = chunk if K_b <= 512 else min(chunk, 8192)
+        idx_all = order[start:end]
+        n_b = end - start
+        lo = 0
+        while lo < n_b:
+            c = _next_chunk(n_b - lo, cap)
+            idx = idx_all[lo : lo + c]
+            n = idx.shape[0]
+            if n < c:
+                idx = np.concatenate(
+                    [idx, np.broadcast_to(idx[-1:], (c - n,))], axis=0
+                )
+            t_b = time.perf_counter() if _TRACE else 0.0
+            fut = _render_eval_windows(
+                model, cfg, params, alpha_mask, rays_dev, bits_dev,
+                jnp.asarray(idx.astype(np.int32)), aabb_j, masks,
+                step_size=step_size, n_samples=n_eff, white_bg=white_bg,
+                shade_top_k=shade_top_k, fused=fused, sample_budget=K_b,
+            )
+            pending.append((start + lo, n, tier, K_b, n_eff, c, t_b, fut))
+            lo += c
+        start = end
+    for lo, n, tier, K_b, n_eff, c, t_b, fut in pending:
+        rgb_b, depth_b, nv, of = fut
+        rgb_sorted[lo : lo + n] = np.asarray(rgb_b)[:n]
+        depth_sorted[lo : lo + n] = np.asarray(depth_b)[:n]
+        total_valid += int(nv)
+        max_overflow = max(max_overflow, float(of))
+        if _TRACE:
+            # dispatches overlap — per-line ms is dispatch->fetch-done
+            print(
+                f"[render-trace] tier={tier} K={K_b} n={n} chunk={c} "
+                f"lattice={n_eff} {(time.perf_counter() - t_b) * 1e3:.1f} "
+                "ms (pipelined)",
+                file=sys.stderr, flush=True,
+            )
 
     inv = np.empty_like(order)
     inv[order] = np.arange(M)

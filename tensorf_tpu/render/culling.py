@@ -366,6 +366,109 @@ def _candidate_and_chord_counts(
     return cand_padded, chord
 
 
+@partial(
+    jax.jit,
+    static_argnames=("n_samples", "step_size", "near", "far", "tile"),
+)
+def _cand_chord_bits_frame(
+    rays, alpha_mask, aabb, *, n_samples, step_size, near, far, tile
+):
+    """One-dispatch whole-frame serving count pass: lax.map over ray
+    tiles of _candidate_and_chord_counts' probe logic, additionally
+    emitting the per-window hit BITS (little-endian packed uint8) the
+    window-bits render path consumes (render/volume.py).
+
+    Through the tunneled chip each host dispatch costs ~50-100 ms of
+    round-trip latency and host<->device bytes move at ~15 MB/s
+    (measured r5) — so the count pass is one program, and counts/chords
+    return as int16 (they are <= n_samples < 2^15) to halve the fetch.
+    """
+
+    def body(r):
+        o, d = r[:, :3], r[:, 3:6]
+        t_min, t_max = aabb_entry_exit(o, d, aabb)
+        t0 = jnp.clip(t_min, near, far)
+        hit = (t_max >= t_min) & (t_max >= t0)
+        n_in = jnp.floor((t_max - t0) / step_size) + 2.0  # +1 FP slack
+        chord = jnp.clip(
+            jnp.where(hit, n_in, 0.0), 0, n_samples
+        ).astype(jnp.int32)
+        pidx = coarse_probe_indices(n_samples)  # static (n_probe,)
+        z = t0[:, None] + jnp.asarray(pidx, o.dtype)[None, :] * step_size
+        probe = o[:, None, :] + d[:, None, :] * z[..., None]
+        hits = coarse_probe_hits(alpha_mask, probe)  # (B, n_probe)
+        starts = jnp.asarray(
+            np.arange(pidx.shape[0]) * COARSE_STRIDE, jnp.int32
+        )
+        wvalid = hit[:, None] & (starts[None, :] < chord[:, None])
+        cand_padded = COARSE_STRIDE * jnp.sum(
+            (hits & wvalid).astype(jnp.int32), axis=-1
+        )
+        cand_padded = jnp.where(
+            cand_padded > 0,
+            jnp.minimum(cand_padded + COARSE_STRIDE, n_samples),
+            0,
+        )
+        # RAW hits (unmasked): the consumer re-applies the chord window
+        # validity itself, so sliced-lattice renders stay self-consistent
+        bits = jnp.packbits(hits, axis=-1, bitorder="little")
+        return (
+            cand_padded.astype(jnp.int16),
+            chord.astype(jnp.int16),
+            bits,
+        )
+
+    c, h, b = jax.lax.map(body, rays.reshape(-1, tile, 6))
+    M = rays.shape[0]
+    return c.reshape(M), h.reshape(M), b.reshape(M, -1)
+
+
+def count_ray_candidates_chord_bits(
+    all_rays,
+    alpha_mask: AlphaGridMask,
+    aabb,
+    step_size: float,
+    near_far=(2.0, 6.0),
+    n_samples: int = 256,
+    tile: int = 32768,
+):
+    """Device-resident serving count pass over a frame's rays.
+
+    Returns (counts (M,) np.int32, chords (M,) np.int32, window-hit bits
+    (M_pad, Gb) uint8 ON DEVICE, rays (M_pad, 6) f32 ON DEVICE) — the
+    bits and rays stay resident so per-bucket render programs gather
+    their rows by small int32 index uploads instead of re-uploading rays
+    through the ~15 MB/s tunnel (render/chunked.py).  ``all_rays`` may
+    already be a device array (the pose-resident path)."""
+    if isinstance(all_rays, jax.Array):
+        rays_dev = all_rays.astype(jnp.float32)
+        M = int(rays_dev.shape[0])
+        pad = (-M) % tile
+        if pad:
+            rays_dev = jnp.concatenate(
+                [rays_dev, jnp.broadcast_to(rays_dev[-1:], (pad, 6))], 0
+            )
+    else:
+        rays = np.asarray(all_rays, np.float32)
+        M = rays.shape[0]
+        pad = (-M) % tile
+        if pad:
+            rays = np.concatenate(
+                [rays, np.broadcast_to(rays[-1:], (pad, 6))], 0
+            )
+        rays_dev = jnp.asarray(rays)
+    aabb_j = jnp.asarray(aabb, jnp.float32).reshape(2, 3)
+    c, h, bits = _cand_chord_bits_frame(
+        rays_dev, alpha_mask, aabb_j,
+        n_samples=n_samples, step_size=float(step_size),
+        near=float(near_far[0]), far=float(near_far[1]),
+        tile=min(tile, int(rays_dev.shape[0])),
+    )
+    counts = np.asarray(c)[:M].astype(np.int32)
+    chords = np.asarray(h)[:M].astype(np.int32)
+    return counts, chords, bits, rays_dev
+
+
 def count_ray_candidates_and_chord(
     all_rays,
     alpha_mask: AlphaGridMask,

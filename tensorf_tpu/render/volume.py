@@ -34,6 +34,7 @@ from ..models.config import ModelConfig
 from ..models.shading import apply_shading
 from ..ops.freq_mask import FreeMasks
 from ..ops.rays import (
+    aabb_entry_exit,
     lattice_z,
     sample_along_rays,
     sample_along_rays_ndc,
@@ -108,12 +109,26 @@ def render_rays(
     budget_mode: str = "alive",
     use_coarse_gate: bool = True,
     alive_budget: Optional[int] = None,
+    cand_window_bits: Optional[jax.Array] = None,
 ) -> RenderOutput:
     """Volume-render a batch of rays (B, 6) -> RenderOutput.
 
     ``model`` is a FieldModel namespace from FIELD_MODELS; ``masks`` the
     per-step FreeNeRF bundle; ``key`` drives stratified jitter and the
     train-time random white-background flip (None => deterministic eval).
+
+    ``cand_window_bits`` (B, Gb) uint8 — little-endian packed per-window
+    coarse-gate hits from the serving count pass (culling.py::
+    count_ray_candidates_chord_bits; bit g = coarse probe hit of stride
+    window g).  When given, the renderer never touches the full lattice:
+    candidate windows come from the bits (masked by the closed-form
+    chord), samples re-materialize from the selected indices, and the
+    exact gate runs on just the K kept samples.  The probe position
+    arithmetic is shared with sample_along_rays bit-for-bit, so the
+    window set equals the in-render coarse gate's up to the one
+    conservative chord-slack window the count pass already budgets for.
+    Requires non-NDC cand-mode budget rendering with an alpha mask and a
+    COARSE_STRIDE-multiple budget.
     """
     B = rays.shape[0]
     rays_o, viewdirs = rays[:, :3], rays[:, 3:6]
@@ -123,26 +138,6 @@ def render_rays(
         k_strat, k_bg = jax.random.split(key)
     else:
         k_strat = k_bg = None
-
-    if ndc_ray:
-        xyz, z_vals, ray_valid = sample_along_rays_ndc(
-            rays_o, viewdirs, aabb, near, far, n_samples, k_strat
-        )
-        dists = jnp.concatenate(
-            [z_vals[:, 1:] - z_vals[:, :-1], jnp.zeros_like(z_vals[:, :1])],
-            axis=-1,
-        )
-        rays_norm = jnp.linalg.norm(viewdirs, axis=-1, keepdims=True)
-        dists = dists * rays_norm
-        viewdirs = viewdirs / rays_norm
-    else:
-        xyz, z_vals, ray_valid = sample_along_rays(
-            rays_o, viewdirs, aabb, near, far, step_size, n_samples, k_strat
-        )
-        dists = jnp.concatenate(
-            [z_vals[:, 1:] - z_vals[:, :-1], jnp.zeros_like(z_vals[:, :1])],
-            axis=-1,
-        )
 
     # Fixed-budget sample compaction — the TPU analog of the reference's
     # boolean compaction (tensorBase.py:360-375): keep the nearest
@@ -243,26 +238,20 @@ def render_rays(
             padded_count,
         )
 
-    def _select_windows(keep, K, n_from):
-        """Window-granular top-k selection WITHOUT the row gather.
+    def _select_windows_g(gkeep, K):
+        """Window-granular top-k selection from a WINDOW keep mask
+        (B, G) — the core of _select_windows, also fed directly by the
+        serving window-bits path (gkeep straight from the count pass).
 
-        Same window grouping/scoring as _compact_grouped, but returns only
-        (sel (B, K) int32 lattice indices, win_alive (B, K) bool,
-        padded_count) — on the affine non-NDC lattice the caller
-        re-derives z/xyz/dists from `sel` bit-exactly (ops/rays.py::
-        lattice_z), so the (B, N, 6) pack + (B*K) row gather of
-        _compact_grouped (~100 MB/step of pure pack/gather traffic at
-        phase-C shapes) disappears; only the top-k remains.
+        Returns (sel (B, K) int32 lattice indices, win_alive (B, K) bool,
+        padded_count); K must be a COARSE_STRIDE multiple.
 
         win_alive rides along the window sort packed into the low bit of
         the sort key (windows are < 2^15, so gsel*2+alive sorts in gsel
         order), avoiding a post-sort re-gather of the top-k values.
         """
         S = COARSE_STRIDE
-        G = -(-n_from // S)
-        tail = G * S - n_from
-        keep_p = jnp.pad(keep, ((0, 0), (0, tail)))
-        gkeep = keep_p.reshape(B, G, S).any(axis=-1)
+        G = gkeep.shape[1]
         padded_count = S * jnp.sum(gkeep.astype(jnp.int32), axis=-1)
         order = jnp.arange(G, dtype=jnp.int32)
         score = gkeep.astype(jnp.int32) * (2 * G - order)
@@ -278,12 +267,27 @@ def render_rays(
         ).reshape(B, K)
         return sel, win_alive, padded_count
 
-    def _compact_derived(cand, K):
-        """Window selection + bit-exact re-materialization (see
-        _select_windows): returns (xyz, z_vals, dists, kept, padded_count)
-        at the K selected lattice indices with zero pack/gather traffic.
-        Only valid on the affine non-NDC lattice."""
-        sel, win_alive, pc = _select_windows(cand, K, n_samples)
+    def _select_windows(keep, K, n_from):
+        """Window-granular top-k selection WITHOUT the row gather.
+
+        Same window grouping/scoring as _compact_grouped, but returns only
+        (sel, win_alive, padded_count) — on the affine non-NDC lattice the
+        caller re-derives z/xyz/dists from `sel` bit-exactly (ops/rays.py::
+        lattice_z), so the (B, N, 6) pack + (B*K) row gather of
+        _compact_grouped (~100 MB/step of pure pack/gather traffic at
+        phase-C shapes) disappears; only the top-k remains.
+        """
+        S = COARSE_STRIDE
+        G = -(-n_from // S)
+        tail = G * S - n_from
+        keep_p = jnp.pad(keep, ((0, 0), (0, tail)))
+        gkeep = keep_p.reshape(B, G, S).any(axis=-1)
+        return _select_windows_g(gkeep, K)
+
+    def _derive_at(sel, win_alive):
+        """Bit-exact re-materialization of (xyz, z_vals, dists, kept) at
+        selected lattice indices (see _select_windows).  Only valid on the
+        affine non-NDC lattice."""
         t_min, u = sample_lattice(
             rays_o, viewdirs, aabb, near, far, k_strat
         )
@@ -302,12 +306,88 @@ def render_rays(
         # keep=0 for those, so mask them here too (they can be in-bbox
         # on short chords).
         kept = win_alive & inb & (sel < n_samples)
+        return xyz_sel, z_sel, d_sel, kept
+
+    def _compact_derived(cand, K):
+        """Window selection + bit-exact re-materialization: returns
+        (xyz, z_vals, dists, kept, padded_count) at the K selected lattice
+        indices with zero pack/gather traffic."""
+        sel, win_alive, pc = _select_windows(cand, K, n_samples)
+        xyz_sel, z_sel, d_sel, kept = _derive_at(sel, win_alive)
         return xyz_sel, z_sel, d_sel, kept, pc
 
     n_eff = n_samples
     overflow_frac = jnp.float32(0.0)
     use_budget = sample_budget is not None and sample_budget < n_samples
     exact_gated = False
+    if cand_window_bits is not None:
+        if (
+            ndc_ray
+            or alpha_mask is None
+            or sample_budget is None
+            or sample_budget > n_samples
+            or sample_budget % COARSE_STRIDE != 0
+            or budget_mode != "cand"
+        ):
+            raise ValueError(
+                "cand_window_bits requires non-NDC cand-mode budget "
+                "rendering with an alpha mask and a COARSE_STRIDE-"
+                "multiple budget <= n_samples"
+            )
+        # Serving window-bits path: the count pass already probed every
+        # stride window — candidate selection here is pure arithmetic
+        # (closed-form chord + unpack), so the (B, N, 3) lattice, its
+        # per-sample in-bbox test, and the coarse probe gathers all
+        # disappear from the per-bucket program.  The chord formula is
+        # the count pass's own (+2 FP slack), so its window set is a
+        # conservative superset of the in-render per-sample validity;
+        # extra boundary windows are exact-gated off downstream and the
+        # tier (sized from the +1-window-padded count) covers them.
+        S = COARSE_STRIDE
+        K = sample_budget
+        t_minr, t_maxr = aabb_entry_exit(rays_o, viewdirs, aabb)
+        t0 = jnp.clip(t_minr, near, far)
+        hitb = (t_maxr >= t_minr) & (t_maxr >= t0)
+        n_in = jnp.floor((t_maxr - t0) / step_size) + 2.0
+        chord = jnp.clip(
+            jnp.where(hitb, n_in, 0.0), 0, n_samples
+        ).astype(jnp.int32)
+        ghits = (
+            jnp.unpackbits(cand_window_bits, axis=-1, bitorder="little") > 0
+        )  # (B, Gb*8) — trailing pad windows masked below
+        starts = jnp.arange(ghits.shape[1], dtype=jnp.int32) * S
+        gkeep = (
+            ghits
+            & hitb[:, None]
+            & (starts[None, :] < chord[:, None])
+            & (starts[None, :] < n_samples)
+        )
+        sel, win_alive, pc = _select_windows_g(gkeep, K)
+        xyz, z_vals, dists, kept = _derive_at(sel, win_alive)
+        ray_valid = kept & (sample_alpha_gate(alpha_mask, xyz) > 0)
+        overflow_frac = jnp.mean((pc > K).astype(jnp.float32))
+        exact_gated = True
+        n_eff = K
+        use_budget = False
+    elif ndc_ray:
+        xyz, z_vals, ray_valid = sample_along_rays_ndc(
+            rays_o, viewdirs, aabb, near, far, n_samples, k_strat
+        )
+        dists = jnp.concatenate(
+            [z_vals[:, 1:] - z_vals[:, :-1], jnp.zeros_like(z_vals[:, :1])],
+            axis=-1,
+        )
+        rays_norm = jnp.linalg.norm(viewdirs, axis=-1, keepdims=True)
+        dists = dists * rays_norm
+        viewdirs = viewdirs / rays_norm
+    else:
+        xyz, z_vals, ray_valid = sample_along_rays(
+            rays_o, viewdirs, aabb, near, far, step_size, n_samples, k_strat
+        )
+        dists = jnp.concatenate(
+            [z_vals[:, 1:] - z_vals[:, :-1], jnp.zeros_like(z_vals[:, :1])],
+            axis=-1,
+        )
     if use_budget:
         K = sample_budget
         if alpha_mask is not None and not use_coarse_gate:
