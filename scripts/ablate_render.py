@@ -28,6 +28,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunk", type=int, default=32768)
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--ckpt", default=None,
+                    help="checkpoint to measure (default: BENCH_PARAMS.json"
+                         " source_ckpt; that path can die with a VM reset)")
     args = ap.parse_args()
 
     import jax
@@ -46,7 +49,8 @@ def main():
 
     with open(os.path.join(ROOT, "BENCH_PARAMS.json")) as f:
         bp = json.load(f)
-    cfg, params, aabb_np, grid, mask, _ = load_checkpoint(bp["source_ckpt"])
+    cfg, params, aabb_np, grid, mask, _ = load_checkpoint(
+        args.ckpt or bp["source_ckpt"])
     model = FIELD_MODELS[cfg.model_name]
     geometry = GridGeometry.create(aabb_np, grid, cfg.step_ratio)
     aabb = jnp.asarray(geometry.aabb_np)
